@@ -1,0 +1,269 @@
+"""Extraction pipeline stages as pandas batch functions + mapInPandas
+wrappers with per-partition lineage.
+
+Stage contract (mirrors the reference's staged batch processor,
+pipeline/batch/processor.py:19-110, re-expressed columnar):
+
+- each stage is a ``pd.DataFrame -> pd.DataFrame`` function applied per
+  Arrow batch inside ``mapInPandas`` — heavy per-partition state is
+  initialized once per task, the Spark analog of "load model once per
+  stage" (reference pipeline/__init__.py:186-253);
+- per-row failures become ``status`` values, never exceptions
+  (reference batch/types.py:77-80 mark_failed + processor.py:218
+  filters);
+- every stage emits ONE lineage row per partition (partition id, docs
+  in/out, bytes in, wall-clock) carried in a ``_lineage`` struct column
+  and split off downstream (SURVEY §4.14) — no driver collect.
+
+Note on "no per-row Python": rows cross the JVM/Python boundary only as
+Arrow record batches (mapInPandas); the per-document parse loop inside a
+batch is inherent to parsing (each document is one parse unit) and runs
+entirely in-process over the batch.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from datetime import datetime, timezone
+from typing import Any
+
+import pandas as pd
+
+from ..functions import correction, dedup_blocks, html_extract, ordering, pdf_extract
+
+import numpy as np
+
+PandasStage = Callable[[pd.DataFrame], pd.DataFrame]
+
+_BLOCK_FIELDS = (
+    "type", "x0", "y0", "x1", "y1", "detection_confidence", "order",
+    "column_index", "text", "corrected_text", "correction_ratio",
+    "description", "image_path",
+)
+
+
+def _norm_block(b: dict[str, Any]) -> dict[str, Any]:
+    """Fill every BLOCK_STRUCT field so Arrow struct conversion is total."""
+    return {f: b.get(f) for f in _BLOCK_FIELDS}
+
+
+def sniff_kind(payload: bytes | None) -> str:
+    """Payload dispatch: the wrapper-scan analog (SURVEY S1/S3)."""
+    if payload is None:
+        return "empty"
+    if payload[:4] == pdf_extract.PDF_MAGIC:
+        return "pdf"
+    return "html"
+
+
+# ---------------------------------------------------------------- detect
+def detect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage 1+2 analog (input load + layout detection): binary payload
+    -> blocks in the unified model.
+
+    HTML pages get DOM-order ``order`` assigned at detect time (the
+    PP-DocLayoutV2 contract); PDF pages leave ``order`` None for the
+    ordering stage (XY-cut).
+    """
+    urls = pdf["url"].to_numpy()
+    tss = pdf["warc_ts"].to_numpy()
+    payloads = pdf["html"].to_numpy()
+    kinds, titles, blocks_col, n_blocks, statuses = [], [], [], [], []
+    for payload in payloads:
+        kind = sniff_kind(payload)
+        title = None
+        blocks: list[dict[str, Any]] = []
+        status = "detected"
+        try:
+            if kind == "pdf":
+                spans = pdf_extract.extract_pdf_spans(payload)
+                blocks = pdf_extract.spans_to_blocks(spans)
+            elif kind == "html":
+                page = html_extract.extract_html_page(
+                    payload.decode("utf-8", errors="replace")
+                )
+                blocks = page["blocks"]
+                title = page["title"]
+            else:
+                status = "failed:empty_payload"
+        except Exception as e:  # defensive: parse failures are row status
+            status = f"failed:{type(e).__name__}"
+            blocks = []
+        kinds.append(kind)
+        titles.append(title)
+        blocks_col.append([_norm_block(b) for b in blocks])
+        n_blocks.append(len(blocks))
+        statuses.append(status)
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": tss,
+            "kind": kinds,
+            "page_title": titles,
+            "blocks": blocks_col,
+            "n_blocks": n_blocks,
+            "status": statuses,
+        }
+    )
+
+
+# ----------------------------------------------------------------- order
+# non-content types stripped between detect and render: the boilerplate
+# drop (SURVEY P5 — markdown renders these as "" anyway; filtering here
+# keeps the plaintext renderer faithful to the reference while still
+# excluding boilerplate from extracted text)
+_NON_CONTENT_TYPES = {"discarded", "abandon", "header", "footer", "page_number"}
+
+
+def order_blocks(blocks: list[dict[str, Any]], kind: str) -> list[dict[str, Any]]:
+    """Overlap dedup + boilerplate drop + reading order for one document."""
+    blocks = [b for b in blocks if b.get("type") not in _NON_CONTENT_TYPES]
+    if not blocks:
+        return blocks
+    boxes = np.array([[b["x0"], b["y0"], b["x1"], b["y1"]] for b in blocks],
+                     dtype=np.int64)
+    types = [b["type"] for b in blocks]
+    surviving = dedup_blocks.apply_overlap_dedup_order(boxes, types)
+    blocks = [blocks[i] for i in surviving]
+    if kind == "html" or all(b.get("order") is not None for b in blocks):
+        # detector-assigned order preserved (doclayout_v2.py:109-120)
+        blocks.sort(key=lambda b: b["order"] if b.get("order") is not None else 0)
+        for rank, b in enumerate(blocks):
+            b["order"] = rank
+        return blocks
+    boxes = np.array([[b["x0"], b["y0"], b["x1"], b["y1"]] for b in blocks],
+                     dtype=np.int64)
+    perm = ordering.xy_cut_order(boxes)
+    ordered = [blocks[i] for i in perm]
+    for rank, b in enumerate(ordered):
+        b["order"] = rank
+    # blocks the projection split dropped (degenerate coords) keep order=None
+    leftovers = [blocks[i] for i in range(len(blocks)) if i not in set(perm.tolist())]
+    return ordered + leftovers
+
+
+def order_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out["blocks"] = [
+        order_blocks(list(blocks), kind)
+        for blocks, kind in zip(out["blocks"], out["kind"])
+    ]
+    out["n_blocks"] = [len(b) for b in out["blocks"]]
+    out["status"] = np.where(
+        out["status"].str.startswith("failed"), out["status"], "ordered"
+    )
+    return out
+
+
+# ---------------------------------------------------------- correct+render
+def _correct_blocks(blocks: list[dict[str, Any]], kind: str) -> None:
+    """In-place block correction: PDF blocks get span-merge
+    (de-hyphenation etc.), HTML blocks the reference's identity copy
+    (block_correction_stage.py:42-47)."""
+    for b in blocks:
+        t = b.get("text")
+        if t is None:
+            continue
+        if kind == "pdf":
+            b["corrected_text"] = correction.span_merge_correct(t)
+        else:
+            b["corrected_text"] = correction.copy_correct(t)
+        b["correction_ratio"] = correction.correction_ratio(t, b["corrected_text"])
+
+
+def finish_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stages 5-7 analog: block correction, page composition, markdown +
+    plaintext rendering, page status."""
+    from ..functions import rendering
+
+    raw_texts, corrected_texts, ratios, mds, pts, statuses, n_blocks = (
+        [], [], [], [], [], [], []
+    )
+    processed_at = datetime.now(timezone.utc).replace(tzinfo=None)
+    for blocks, kind, status in zip(pdf["blocks"], pdf["kind"], pdf["status"]):
+        blocks = list(blocks)
+        _correct_blocks(blocks, kind)
+        raw = rendering.compose_page_text(blocks)
+        corrected_view = [
+            {**b, "text": b.get("corrected_text") or b.get("text")} for b in blocks
+        ]
+        corrected = rendering.compose_page_text(corrected_view)
+        md = rendering.render_markdown(blocks)
+        pt = rendering.render_plaintext(blocks)
+        if status.startswith("failed"):
+            st = "partial"  # failed -> partial (output_stage.py:213-219)
+        elif not blocks or not pt:
+            st = "incomplete"
+        else:
+            st = "complete"
+        raw_texts.append(raw)
+        corrected_texts.append(corrected)
+        ratios.append(correction.correction_ratio(raw, corrected))
+        mds.append(md)
+        pts.append(pt)
+        statuses.append(st)
+        n_blocks.append(len(blocks))
+    return pd.DataFrame(
+        {
+            "url": pdf["url"].to_numpy(),
+            "warc_ts": pdf["warc_ts"].to_numpy(),
+            "kind": pdf["kind"].to_numpy(),
+            "raw_text": raw_texts,
+            "corrected_text": corrected_texts,
+            "correction_ratio": ratios,
+            "rendered_markdown": mds,
+            "rendered_plaintext": pts,
+            "n_blocks": n_blocks,
+            "status": statuses,
+            "processed_at": [processed_at] * len(pdf),
+        }
+    )
+
+
+def fused_extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """detect -> order -> finish composed in one pass (no intermediate
+    Arrow round-trips) — the fast path when checkpoints are disabled."""
+    return finish_batch(order_batch(detect_batch(pdf)))
+
+
+# ------------------------------------------------------- lineage wrapper
+def with_lineage(
+    fn: PandasStage, stage: str, run_id: str, out_columns: list[str]
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Wrap a pandas stage for mapInPandas: per-partition init happens
+    here (once per task), and a single lineage row is appended after the
+    last batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        t0 = time.monotonic()
+        docs_in = docs_out = bytes_in = 0
+        for pdf in batches:
+            docs_in += len(pdf)
+            if "html" in pdf.columns:
+                bytes_in += int(
+                    sum(len(v) for v in pdf["html"] if v is not None)
+                )
+            out = fn(pdf)
+            docs_out += len(out)
+            out["_lineage"] = None
+            yield out
+        lin = {
+            "run_id": run_id,
+            "stage": stage,
+            "partition_id": pid,
+            "docs_in": docs_in,
+            "docs_out": docs_out,
+            "bytes_in": bytes_in,
+            "wall_clock_ms": int((time.monotonic() - t0) * 1000),
+            "ts": datetime.now(timezone.utc).replace(tzinfo=None),
+        }
+        marker = pd.DataFrame({c: [None] for c in out_columns})
+        marker["_lineage"] = [lin]
+        yield marker
+
+    return gen

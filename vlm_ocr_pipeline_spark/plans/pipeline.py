@@ -1,0 +1,151 @@
+"""Extraction pipeline DAG assembly.
+
+Two execution modes over the same stage functions:
+
+- :func:`extract` — FUSED: detect→order→correct→render in ONE
+  mapInPandas pass (one Arrow round-trip total).  Lazy, composable,
+  what benchmarks and downstream queries use.
+- :class:`CheckpointedRun` — STAGED: one mapInPandas per stage with a
+  parquet checkpoint table after each, anti-join resume on
+  ``(url, warc_ts)`` (the reference's per-stage JSON checkpoints +
+  progress file, pipeline/checkpoint/progress.py:230-260 /
+  serializer.py:252-317, re-expressed as idempotent table appends —
+  SURVEY §3.4).
+
+Skew: ``salted_repartition`` spreads hot host-domains across partitions
+by hashing the full key — a contiguous crawl of one domain lands in one
+input file but never in one task (north_rule requirement; SURVEY §4.4).
+The salt is physical only: the logical key stays (url, warc_ts).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schema
+from ..operators import stages
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 8) -> DataFrame:
+    """Repartition by (xxhash64(url, warc_ts) pmod (num*salt)) so that a
+    skewed host-domain cannot pin a single task.  Hashing the full key
+    (not the domain) plus the salt multiplier keeps partition counts
+    balanced even when one domain dominates the input."""
+    n = num_partitions * salt_buckets
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64("url", "warc_ts"), F.lit(n))
+    )
+
+
+def split_lineage(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Separate data rows from per-partition lineage marker rows."""
+    data = df.filter(F.col("_lineage").isNull()).drop("_lineage")
+    lineage = df.filter(F.col("_lineage").isNotNull()).select("_lineage.*")
+    return data, lineage
+
+
+def extract(
+    pages: DataFrame,
+    run_id: str = "adhoc",
+    repartition_to: int | None = None,
+    keep_lineage: bool = False,
+) -> DataFrame:
+    """Fused extraction: pages -> stage_text rows, lazily.
+
+    Column pruning: only (url, warc_ts, html) are read — the payload
+    column never travels past this stage (SURVEY §4.2).
+    """
+    src = pages.select("url", "warc_ts", "html")
+    if repartition_to:
+        src = salted_repartition(src, repartition_to)
+    out_schema = schema.text_stage_schema()
+    out_cols = [f.name for f in out_schema.fields if f.name != "_lineage"]
+    fn = stages.with_lineage(
+        stages.fused_extract_batch, "extract_fused", run_id, out_cols
+    )
+    out = src.mapInPandas(fn, schema=out_schema)
+    if keep_lineage:
+        return out
+    return out.filter(F.col("_lineage").isNull()).drop("_lineage")
+
+
+class CheckpointedRun:
+    """Staged run with resumable parquet checkpoint tables.
+
+    Layout under ``workdir``::
+
+        stage_detect/   stage_order/   stage_text/   lineage/
+
+    Each invocation processes only keys absent from the stage's table
+    (left_anti on (url, warc_ts)) and appends — re-running after a crash
+    is idempotent, matching the reference's resume contract.
+    """
+
+    STAGES = ("stage_detect", "stage_order", "stage_text")
+
+    def __init__(self, spark: SparkSession, workdir: str, run_id: str | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def _done_keys(self, name: str) -> DataFrame | None:
+        path = self._path(name)
+        if not os.path.isdir(path):  # local-fs stand-in for catalog lookup
+            return None
+        try:
+            return self.spark.read.parquet(path).select(*schema.KEY_COLS)
+        except Exception:
+            return None
+
+    def _run_stage(
+        self, name: str, src: DataFrame, fn, out_schema
+    ) -> DataFrame:
+        """Anti-join todo, mapInPandas, append (data + lineage), return
+        the stage's full table."""
+        done = self._done_keys(name)
+        todo = src
+        if done is not None:
+            todo = src.join(done, on=schema.KEY_COLS, how="left_anti")
+        out_cols = [f.name for f in out_schema.fields if f.name != "_lineage"]
+        wrapped = stages.with_lineage(fn, name, self.run_id, out_cols)
+        result = todo.mapInPandas(wrapped, schema=out_schema)
+        # one write materializes both the stage rows and lineage markers
+        result.write.mode("append").parquet(self._path(name))
+        full = self.spark.read.parquet(self._path(name))
+        data, lineage = split_lineage(full)
+        lineage.filter(F.col("run_id") == self.run_id).write.mode("append").parquet(
+            self._path("lineage")
+        )
+        return data
+
+    def run(self, pages: DataFrame, repartition_to: int | None = None) -> DataFrame:
+        src = pages.select("url", "warc_ts", "html")
+        if repartition_to:
+            src = salted_repartition(src, repartition_to)
+        detected = self._run_stage(
+            "stage_detect", src, stages.detect_batch, schema.blocks_stage_schema()
+        )
+        ordered = self._run_stage(
+            "stage_order", detected, stages.order_batch, schema.blocks_stage_schema()
+        )
+        text = self._run_stage(
+            "stage_text", ordered, stages.finish_batch, schema.text_stage_schema()
+        )
+        return text
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("lineage"))
+
+    def status_summary(self, text_df: DataFrame) -> DataFrame:
+        """Run summary aggregation (reference output_stage.py:122-199):
+        page counts per status + completion rate."""
+        return text_df.groupBy("status").agg(
+            F.count("*").alias("n_pages"),
+            F.avg("n_blocks").alias("avg_blocks"),
+        )

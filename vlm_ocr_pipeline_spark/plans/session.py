@@ -1,0 +1,48 @@
+"""SparkSession builder tuned for the extraction workload.
+
+Sandbox runs on local[N]; the same configs are what we'd submit with
+``spark-submit --py-files`` on a real cluster (SURVEY §7.2 m7):
+
+- AQE on (runtime coalesce + skew-join splitting, SURVEY §4.4)
+- Arrow batch size bounds Python-worker memory per stage batch — the
+  analog of the reference's GPU batch-size calibration (SURVEY §4.5)
+- shuffle partitions sized to cores in local mode; on a cluster this
+  should be ~2-3x total executor cores (AQE coalesces down)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 1024  # docs per Arrow batch entering pandas stages
+
+
+def get_spark(
+    app: str = "vlm-ocr-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = int(master[master.index("[") + 1 : -1]) if "[" in master else cpus
+        shuffle_partitions = max(n, 8)
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
