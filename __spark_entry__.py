@@ -1,38 +1,632 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship main-content extraction end-to-end
+on sf0.001; ``queries()``/``oracle_sql()`` cover the SQL-expressible
+operator surface of SURVEY.md §2 plus the training-data ops (dedup,
+similarity, text analysis).  Column names and types are aligned with
+each oracle; float aggregates use exact-arithmetic constructions
+(integer cents, single divisions, rounded cosines) so value hashes are
+engine-stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+SF0001 = "/root/testdata/sf0.001"
+
+_EXTRACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction output over HTML-wrapped documents (cached per sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXTRACT_CACHE:
+        from vlm_ocr_pipeline_spark.plans.pipeline import extract
+        from vlm_ocr_pipeline_spark.sources.datagen import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        _EXTRACT_CACHE[key] = extract(pages).cache()
+    return _EXTRACT_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HTML boilerplate-strip extraction over sf0.001 docs."""
+    out = _extracted(spark, SF0001)
+    return out.select(
+        "url", "kind", "status", "n_blocks", "rendered_markdown", "rendered_plaintext"
+    )
 
 
+# ---------------------------------------------------------------------
+# helpers shared by queries
+# ---------------------------------------------------------------------
+def _cents(col):
+    """Exact money arithmetic: double -> integer cents (engine-stable)."""
+    return F.round(col * 100).cast("long")
+
+
+def _doc_url():
+    return F.concat(F.lit("https://docs.example.org/doc/"), F.col("doc_id"))
+
+
+def _collapsed_text():
+    return F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+
+
+_ORACLE_COLLAPSE = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+_ORACLE_URL = "'https://docs.example.org/doc/' || doc_id"
+
+
+# ---------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ============ extraction pipeline (end-to-end, oracle-checked) ====
+    def extract_markdown(spark, sf):
+        return _extracted(spark, sf).select("url", "rendered_markdown")
+
+    def extract_plaintext(spark, sf):
+        return _extracted(spark, sf).select("url", "rendered_plaintext")
+
+    def extract_raw_text(spark, sf):
+        return _extracted(spark, sf).select("url", "raw_text")
+
+    def extract_status_summary(spark, sf):
+        return (
+            _extracted(spark, sf)
+            .groupBy("status")
+            .agg(F.count("*").alias("n_pages"))
+        )
+
+    def extract_block_counts(spark, sf):
+        return _extracted(spark, sf).select(
+            "url", F.col("n_blocks").cast("long").alias("n_blocks")
+        )
+
+    q["extract_markdown"] = extract_markdown
+    q["extract_plaintext"] = extract_plaintext
+    q["extract_raw_text"] = extract_raw_text
+    q["extract_status_summary"] = extract_status_summary
+    q["extract_block_counts"] = extract_block_counts
+
+    # ============ relational operator surface (SURVEY §2) =============
+    def status_summary(spark, sf):  # A1
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    def stage_progress(spark, sf):  # A2 (ANY/bool_or semantics)
+        return (
+            _t(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max((F.col("event_type") == "error").cast("int"))
+                .cast("boolean")
+                .alias("has_error"),
+                F.count("*").cast("long").alias("n_events"),
+            )
+        )
+
+    def batch_summary(spark, sf):  # A3
+        o = _t(spark, sf, "orders")
+        return o.agg(
+            F.count("*").alias("total"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            (F.count_if(F.col("o_orderstatus") == "F") / F.count("*")).alias(
+                "success_rate"
+            ),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_price"),
+        )
+
+    def median_quantity(spark, sf):  # A4
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.median("l_quantity").alias("median_qty"),
+                F.sum("l_quantity").alias("sum_qty"),
+            )
+        )
+
+    def reading_order_window(spark, sf):  # O4/O5 as window row_number
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            _t(spark, sf, "events")
+            .select(
+                "user_id",
+                "event_id",
+                F.row_number().over(w).cast("long").alias("reading_order"),
+            )
+        )
+
+    def top_k_orders(spark, sf):  # O9/O10 top-k by budget
+        return (
+            _t(spark, sf, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .select("o_orderkey", "o_totalprice")
+            .limit(10)
+        )
+
+    def resume_anti_join(spark, sf):  # J5 — the checkpoint-resume join
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+            .select("o_orderkey", "o_orderstatus")
+        )
+
+    def group_join_agg(spark, sf):  # J6 + broadcast dim join
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        n = _t(spark, sf, "nation")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+            )
+        )
+
+    def conf_filter(spark, sf):  # P1 predicate-pushdown agg (Q6-style)
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("l_quantity").alias("sum_qty"),
+            )
+        )
+
+    def type_normalize(spark, sf):  # P6 vocabulary mapping
+        e = _t(spark, sf, "events")
+        mapped = (
+            F.when(F.col("event_type").isin("click", "view"), "interaction")
+            .when(F.col("event_type") == "error", "failure")
+            .otherwise("other")
+        )
+        return e.groupBy(mapped.alias("canonical_type")).agg(
+            F.count("*").alias("n")
+        )
+
+    def rate_window(spark, sf):  # A10 sliding-window rate limiting analog
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy(F.window("ts", "60 seconds").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_requests"),
+                (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_requests",
+                "total_value",
+            )
+        )
+
+    def timing_avg(spark, sf):  # A6 running-mean analog
+        e = _t(spark, sf, "events")
+        return e.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents(F.col("value"))) / 100.0 / F.count("*")).alias(
+                "avg_value"
+            ),
+        )
+
+    q["status_summary"] = status_summary
+    q["stage_progress"] = stage_progress
+    q["batch_summary"] = batch_summary
+    q["median_quantity"] = median_quantity
+    q["reading_order_window"] = reading_order_window
+    q["top_k_orders"] = top_k_orders
+    q["resume_anti_join"] = resume_anti_join
+    q["group_join_agg"] = group_join_agg
+    q["conf_filter"] = conf_filter
+    q["type_normalize"] = type_normalize
+    q["rate_window"] = rate_window
+    q["timing_avg"] = timing_avg
+
+    # ============ text analysis ========================================
+    def token_count(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.textstats import token_count as op
+
+        d = op(_t(spark, sf, "documents"))
+        return d.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_subwords_est").cast("long").alias("n_subwords_est"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    def quality_scores(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.textstats import quality_scores as op
+
+        d = op(_t(spark, sf, "documents"))
+        return d.select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "mean_word_len",
+            "stopword_ratio",
+            "punct_ratio",
+            "digit_ratio",
+        )
+
+    def lang_id(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.textstats import lang_id as op
+
+        d = op(_t(spark, sf, "documents"))
+        cast = [F.col(c).cast("long").alias(c) for c in d.columns if c.startswith("score_")]
+        return d.select("doc_id", "predicted_lang", *cast)
+
+    def fingerprints(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.textstats import fingerprints as op
+
+        return op(_t(spark, sf, "documents"))
+
+    q["token_count"] = token_count
+    q["quality_scores"] = quality_scores
+    q["lang_id"] = lang_id
+    q["fingerprints"] = fingerprints
+
+    # ============ deduplication =======================================
+    def exact_dedup(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.text_dedup import exact_dup_groups
+
+        return exact_dup_groups(_t(spark, sf, "documents"))
+
+    def ngram_jaccard(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.text_dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+    def minhash_signatures(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.text_dedup import minhash_signatures as op
+
+        return op(_t(spark, sf, "documents"), num_hashes=4)
+
+    def minhash_lsh(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
+
+        d = minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+        return d.select(
+            "doc_a", "doc_b", F.col("n_bands_shared").cast("long").alias("n_bands_shared")
+        )
+
+    def simhash(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.text_dedup import simhash16
+
+        return simhash16(_t(spark, sf, "documents"))
+
+    q["exact_dedup"] = exact_dedup
+    q["ngram_jaccard"] = ngram_jaccard
+    q["minhash_signatures"] = minhash_signatures
+    q["minhash_lsh"] = minhash_lsh
+    q["simhash"] = simhash
+
+    # ============ similarity search ===================================
+    def _query_vec(spark, sf) -> list[float]:
+        row = (
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+        )
+        return [float(v) for v in row[0]]
+
+    def cosine_topk(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.similarity import cosine_topk as op
+
+        return op(_t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
+
+    def lsh_topk(spark, sf):  # approximate path — rows-only check
+        from vlm_ocr_pipeline_spark.operators.similarity import lsh_bucketed_topk
+
+        return lsh_bucketed_topk(_t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
+
+    def embedding_neardup(spark, sf):  # rows-only check
+        from vlm_ocr_pipeline_spark.operators.similarity import embedding_neardup_pairs
+
+        return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+
+    q["cosine_topk"] = cosine_topk
+    q["lsh_topk"] = lsh_topk
+    q["embedding_neardup"] = embedding_neardup
+
+    # ============ multimodal plumbing (rows-only) =====================
+    def media_features(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.multimodal import (
+            deterministic_fake_decoder,
+            extract_media_features,
+            synth_media,
+        )
+
+        media = synth_media(spark, 200)
+        return extract_media_features(media, deterministic_fake_decoder)
+
+    def media_summary(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.multimodal import (
+            media_metadata_summary,
+            synth_media,
+        )
+
+        return media_metadata_summary(synth_media(spark, 200))
+
+    q["media_features"] = media_features
+    q["media_summary"] = media_summary
+    return q
 
 
+# ---------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    # extraction end-to-end: the HTML wrap embeds 'Doc {id}' as the h1
+    # and the whitespace-collapsed text as the sole content paragraph
+    o["extract_markdown"] = f"""
+        SELECT {_ORACLE_URL} AS url,
+               '# Doc ' || doc_id || chr(10) || chr(10) || {_ORACLE_COLLAPSE}
+                   AS rendered_markdown
+        FROM documents
     """
-    return {}
+    o["extract_plaintext"] = f"""
+        SELECT {_ORACLE_URL} AS url,
+               '[TITLE] Doc ' || doc_id || chr(10) || chr(10) || {_ORACLE_COLLAPSE}
+                   AS rendered_plaintext
+        FROM documents
+    """
+    o["extract_raw_text"] = f"""
+        SELECT {_ORACLE_URL} AS url,
+               'Doc ' || doc_id || chr(10) || chr(10) || {_ORACLE_COLLAPSE}
+                   AS raw_text
+        FROM documents
+    """
+    o["extract_status_summary"] = """
+        SELECT 'complete' AS status, count(*) AS n_pages FROM documents
+    """
+    o["extract_block_counts"] = f"""
+        SELECT {_ORACLE_URL} AS url, CAST(2 AS BIGINT) AS n_blocks FROM documents
+    """
+
+    o["status_summary"] = """
+        SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    """
+    o["stage_progress"] = """
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BOOLEAN)
+                   AS has_error,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """
+    o["batch_summary"] = """
+        SELECT count(*) AS total,
+               count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (o_orderstatus = 'F') / CAST(count(*) AS DOUBLE)
+                   AS success_rate,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS total_price
+        FROM orders
+    """
+    o["median_quantity"] = """
+        SELECT l_returnflag,
+               CAST(median(l_quantity) AS DOUBLE) AS median_qty,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+    o["reading_order_window"] = """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS reading_order
+        FROM events
+    """
+    o["top_k_orders"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """
+    o["resume_anti_join"] = """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """
+    o["group_join_agg"] = """
+        SELECT n_name, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+    o["conf_filter"] = """
+        SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """
+    o["type_normalize"] = """
+        SELECT CASE WHEN event_type IN ('click', 'view') THEN 'interaction'
+                    WHEN event_type = 'error' THEN 'failure'
+                    ELSE 'other' END AS canonical_type,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """
+    o["rate_window"] = """
+        SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+               event_type,
+               count(*) AS n_requests,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS total_value
+        FROM events GROUP BY 1, 2
+    """
+    o["timing_avg"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   / count(*) AS avg_value
+        FROM events GROUP BY event_type
+    """
+
+    collapse = _ORACLE_COLLAPSE
+    o["token_count"] = f"""
+        SELECT doc_id,
+               CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens,
+               CAST(ceil(length({collapse}) / 4.0) AS BIGINT) AS n_subwords_est,
+               CAST(length({collapse}) AS BIGINT) AS n_chars
+        FROM documents
+    """
+    stop_terms = " + ".join(
+        f"CAST((length(p) - length(regexp_replace(p, ' {w} ', '', 'g'))) / {len(w) + 2} AS INT)"
+        for w in ("the", "a", "and", "of", "to", "in", "is", "on")
+    )
+    o["quality_scores"] = f"""
+        WITH n AS (SELECT doc_id, {collapse} AS t FROM documents),
+        p AS (SELECT doc_id, t, ' ' || t || ' ' AS p FROM n)
+        SELECT doc_id,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+               length(t) / CAST(len(string_split(t, ' ')) AS DOUBLE) AS mean_word_len,
+               ({stop_terms}) / CAST(len(string_split(t, ' ')) AS DOUBLE)
+                   AS stopword_ratio,
+               (length(t) - length(regexp_replace(t, '[\\.,;:!\\?]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) AS punct_ratio,
+               (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) AS digit_ratio
+        FROM p
+    """
+    # lang_id oracle built programmatically to mirror the Spark op
+    from vlm_ocr_pipeline_spark.operators.textstats import LANG_MARKERS
+
+    def _occ(m: str) -> str:
+        return (
+            f"CAST((length(p) - length(regexp_replace(p, ' {m} ', '', 'g')))"
+            f" / {len(m) + 2} AS INT)"
+        )
+
+    score_exprs = {
+        lang: " + ".join(_occ(m) for m in ms) for lang, ms in LANG_MARKERS.items()
+    }
+    langs = sorted(score_exprs)
+    # argmax with earlier-code tie-break == the Spark fold in textstats
+    best = "'und'"
+    best_score = "0"
+    for lang in reversed(langs):
+        s = f"s_{lang}"
+        best = f"CASE WHEN {s} >= greatest({best_score}, 1) THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {s} >= greatest({best_score}, 1) THEN {s} ELSE {best_score} END"
+    score_sel = ", ".join(f"CAST(s_{lang} AS BIGINT) AS score_{lang}" for lang in langs)
+    inner = ", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
+    o["lang_id"] = f"""
+        WITH p AS (SELECT doc_id, ' ' || {collapse} || ' ' AS p FROM documents),
+        s AS (SELECT doc_id, {inner} FROM p)
+        SELECT doc_id, {best} AS predicted_lang, {score_sel} FROM s
+    """
+    o["fingerprints"] = f"""
+        SELECT doc_id, md5({collapse}) AS fingerprint,
+               substr(md5({collapse}), 1, 16) AS fingerprint16
+        FROM documents
+    """
+
+    o["exact_dedup"] = f"""
+        SELECT md5({collapse}) AS content_hash,
+               min(doc_id) AS representative,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+    shingle_cte = f"""
+        words AS (SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i : i + 2], ' ') AS shingle
+            FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        )
+    """
+    o["ngram_jaccard"] = f"""
+        WITH {shingle_cte},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+    """
+    mh_cols = ", ".join(
+        f"min(md5(shingle || ':{k}')) AS mh{k}" for k in range(4)
+    )
+    o["minhash_signatures"] = f"""
+        WITH {shingle_cte}
+        SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+    """
+    mh8 = ", ".join(f"min(md5(shingle || ':{k}')) AS mh{k}" for k in range(8))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} || '|' || mh{2 * b + 1} AS key FROM sig"
+        for b in range(4)
+    )
+    o["minhash_lsh"] = f"""
+        WITH {shingle_cte},
+        sig AS (SELECT doc_id, {mh8} FROM sh GROUP BY doc_id),
+        buckets AS ({band_rows})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_shared
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+    bit_sums = ", ".join(
+        "sum(CASE WHEN substr(md5(word), %d, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s%d" % (p + 1, p)
+        for p in range(16)
+    )
+    bit_concat = " || ".join(
+        f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END" for p in range(16)
+    )
+    o["simhash"] = f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS word
+            FROM documents
+        ),
+        sums AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id)
+        SELECT doc_id, {bit_concat} AS simhash FROM sums
+    """
+
+    o["cosine_topk"] = """
+        WITH q AS (
+            SELECT generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT e.vec_id,
+                   sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
+                   sqrt(sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE))) AS ne,
+                   sqrt(sum(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE))) AS nq
+            FROM e JOIN q USING (i)
+            GROUP BY e.vec_id
+        )
+        SELECT vec_id, round(dot / (ne * nq), 6) AS cosine
+        FROM dots
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+    return o

@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extract_docs_per_sec": ...}
+
+Extra env:
+  SPARK_BENCH_ONLY=extract   run only the extraction bench (scaling runs)
+  SPARK_BENCH_PAGES=N        override synthetic page count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = os.environ.get("SPARK_BENCH_ONLY", "")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_pages = int(os.environ.get("SPARK_BENCH_PAGES", str(int(200_000 * sf_num))))
+    n_pages = max(n_pages, 1000)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from vlm_ocr_pipeline_spark.plans.pipeline import extract
+    from vlm_ocr_pipeline_spark.plans.session import get_spark
+    from vlm_ocr_pipeline_spark.sources.datagen import synth_pages
+
+    spark = get_spark(app=f"bench-{cpus}", master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+
+    # ---- flagship: fused extraction over n_pages synthetic pages ----
+    # enough input files for >=4 task waves per core: amortizes python
+    # worker startup and evens out HTML-vs-PDF per-task cost variance
+    pages = synth_pages(spark, n_pages, partitions=max(64, cpus * 4))
+    pages.write.mode("overwrite").parquet(tmp := tempfile.mkdtemp() + "/pages")
+    src = spark.read.parquet(tmp)  # bench reads from parquet like a real table
+
+    # no repartition: the parse stage is embarrassingly parallel — scan
+    # splits (maxPartitionBytes) already spread it; a shuffle of the
+    # payload bytes would only add cost.  salted_repartition is for
+    # skew-sensitive keyed stages (see plans/pipeline.py).
+    sink = os.environ.get("SPARK_BENCH_SINK", "parquet")
+    out_dir = tempfile.mkdtemp() + "/stage_text"
+    t0 = time.monotonic()
+    if sink == "count":
+        extract(src).count()
+    else:
+        extract(src).write.mode("overwrite").parquet(out_dir)
+    t_extract = time.monotonic() - t0
+    timings["extract"] = round(t_extract, 3)
+    docs_per_sec = round(n_pages / t_extract, 1)
+
+    if only != "extract":
+        qs = entrymod.queries()
+        bench_queries = [
+            "extract_markdown",       # documents-table end-to-end extraction
+            "group_join_agg",
+            "reading_order_window",
+            "rate_window",
+            "median_quantity",
+            "conf_filter",
+            "top_k_orders",
+            "token_count",
+            "quality_scores",
+            "exact_dedup",
+            "minhash_lsh",
+            "ngram_jaccard",
+            "simhash",
+            "cosine_topk",
+            "lsh_topk",
+        ]
+        for name in bench_queries:
+            fn = qs[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "cpus": cpus,
+        "extract_pages": n_pages,
+        "extract_docs_per_sec": docs_per_sec,
+    }
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

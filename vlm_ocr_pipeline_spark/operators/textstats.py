@@ -1,0 +1,105 @@
+"""Text analysis operators: token counts, quality scores, language-ID
+heuristic, fingerprints.
+
+Everything is built-in pyspark.sql.functions (whole-stage codegen) and
+each expression has an exact ANSI-SQL twin for the DuckDB oracle —
+ratios are single int/int double divisions so both engines produce the
+identical IEEE-754 value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+# marker words per language for the n-gram/langid heuristic; counts of
+# ' word ' occurrences decide the predicted language
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def _norm(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def _count_occurrences(haystack: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via length arithmetic (portable SQL)."""
+    return (
+        (F.length(haystack) - F.length(F.regexp_replace(haystack, needle, "")))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4),
+    the public rule-of-thumb bytes-per-token constant)."""
+    norm = _norm(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.ceil(F.length(norm) / 4).cast("int").alias("n_subwords_est"),
+        F.length(norm).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality features used by web-corpus filters:
+    mean word length, stopword ratio, punctuation ratio, digit ratio.
+    Each ratio is one exact double division (oracle-stable)."""
+    norm = _norm(F.col(text_col))
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    n_chars = F.length(norm)
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    n_stop = sum(
+        _count_occurrences(padded, f" {w} ") for w in STOPWORDS
+    )
+    n_punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[\.,;:!\?]", ""))
+    n_digit = F.length(norm) - F.length(F.regexp_replace(norm, r"[0-9]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        (n_chars / n_words).alias("mean_word_len"),
+        (n_stop / n_words).alias("stopword_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_digit / n_chars).alias("digit_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: predicted lang = argmax of
+    per-language marker counts, ties broken by language code order,
+    'und' when all counts are zero."""
+    padded = F.concat(F.lit(" "), _norm(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(_count_occurrences(padded, f" {m} ") for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)  # deterministic tie-break order
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # reversed so earlier codes win ties
+        cond = scores[lang] >= F.greatest(best_score, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    sel = [F.col(id_col).alias("doc_id"), best.alias("predicted_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return docs.select(*sel)
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full md5 plus a 16-hex-char prefix key
+    (the checkpoint/cache key analog of the reference's image hash,
+    pipeline/recognition/cache.py:37-52)."""
+    norm = _norm(F.col(text_col))
+    h = F.md5(norm)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("fingerprint"),
+        F.substring(h, 1, 16).alias("fingerprint16"),
+    )

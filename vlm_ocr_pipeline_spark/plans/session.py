@@ -40,7 +40,11 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # extraction is CPU-heavy per byte: small scan splits keep all
+        # cores busy on payload tables (~3 KB/doc -> ~2-3k docs/task);
+        # raise for IO-bound relational scans if needed
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
