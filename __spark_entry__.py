@@ -231,6 +231,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def doc_rollup(spark, sf):  # A1+A2+A7 document rollup via ROLLUP
+        e = _t(spark, sf, "events")
+        return (
+            e.rollup("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("user_id").alias("max_user"),
+            )
+        )
+
+    q["doc_rollup"] = doc_rollup
+
+    def extract_anchor(spark, sf):  # O10/F12 anchor text over blocks
+        from vlm_ocr_pipeline_spark.functions.spanmatch import blocks_to_anchor_text
+        from vlm_ocr_pipeline_spark.operators.stages import detect_batch, order_batch
+        from vlm_ocr_pipeline_spark.sources.datagen import pages_from_documents
+
+        import pandas as pd
+
+        def gen(batches):
+            for b in batches:
+                ordered = order_batch(detect_batch(b))
+                rows = []
+                for url, blocks in zip(ordered["url"], ordered["blocks"]):
+                    blocks = list(blocks)
+                    w = max((blk["x1"] for blk in blocks), default=0)
+                    h = max((blk["y1"] for blk in blocks), default=0)
+                    rows.append(
+                        {"url": url, "anchor": blocks_to_anchor_text(blocks, w, h)}
+                    )
+                yield pd.DataFrame(rows)
+
+        pages = pages_from_documents(spark, sf)
+        return pages.select("url", "warc_ts", "html").mapInPandas(
+            gen, schema="url string, anchor string"
+        )
+
+    q["extract_anchor"] = extract_anchor
     q["status_summary"] = status_summary
     q["stage_progress"] = stage_progress
     q["batch_summary"] = batch_summary
@@ -404,6 +442,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT {_ORACLE_URL} AS url, CAST(2 AS BIGINT) AS n_blocks FROM documents
     """
 
+    o["doc_rollup"] = """
+        SELECT event_type, count(*) AS n, max(user_id) AS max_user
+        FROM events GROUP BY ROLLUP(event_type)
+    """
+    # documents-wrapped pages have a fixed DOM: 10 boilerplate blocks
+    # precede the h1 (dom index 10) and the content paragraph (index
+    # 11), both at depth 4 — so the anchor text is a pure SQL transform
+    o["extract_anchor"] = f"""
+        SELECT {_ORACLE_URL} AS url,
+               'Page dimensions: 5x12' || chr(10) ||
+               '[4x10]Doc ' || doc_id || chr(10) ||
+               '[4x11]' || substr({_ORACLE_COLLAPSE}, 1, 50) AS anchor
+        FROM documents
+    """
     o["status_summary"] = """
         SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
     """

@@ -116,31 +116,81 @@ def detect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 _NON_CONTENT_TYPES = {"discarded", "abandon", "header", "footer", "page_number"}
 
 
-def order_blocks(blocks: list[dict[str, Any]], kind: str) -> list[dict[str, Any]]:
-    """Overlap dedup + boilerplate drop + reading order for one document."""
-    blocks = [b for b in blocks if b.get("type") not in _NON_CONTENT_TYPES]
-    if not blocks:
-        return blocks
-    boxes = np.array([[b["x0"], b["y0"], b["x1"], b["y1"]] for b in blocks],
-                     dtype=np.int64)
-    types = [b["type"] for b in blocks]
-    surviving = dedup_blocks.apply_overlap_dedup_order(boxes, types)
-    blocks = [blocks[i] for i in surviving]
-    if kind == "html" or all(b.get("order") is not None for b in blocks):
-        # detector-assigned order preserved (doclayout_v2.py:109-120)
-        blocks.sort(key=lambda b: b["order"] if b.get("order") is not None else 0)
-        for rank, b in enumerate(blocks):
-            b["order"] = rank
-        return blocks
-    boxes = np.array([[b["x0"], b["y0"], b["x1"], b["y1"]] for b in blocks],
-                     dtype=np.int64)
-    perm = ordering.xy_cut_order(boxes)
+def _boxes_of(blocks: list[dict[str, Any]]) -> np.ndarray:
+    return np.array(
+        [[b["x0"], b["y0"], b["x1"], b["y1"]] for b in blocks], dtype=np.int64
+    )
+
+
+def _sort_xycut(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    perm = ordering.xy_cut_order(_boxes_of(blocks))
     ordered = [blocks[i] for i in perm]
     for rank, b in enumerate(ordered):
         b["order"] = rank
     # blocks the projection split dropped (degenerate coords) keep order=None
     leftovers = [blocks[i] for i in range(len(blocks)) if i not in set(perm.tolist())]
     return ordered + leftovers
+
+
+def _sort_fallback(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    perm = ordering.fallback_order(_boxes_of(blocks))
+    ordered = [blocks[i] for i in perm]
+    for rank, b in enumerate(ordered):
+        b["order"] = rank
+    return ordered
+
+
+def _sort_preserve(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Keep detector-assigned order (doclayout_v2.py:109-120)."""
+    blocks.sort(key=lambda b: b["order"] if b.get("order") is not None else 0)
+    for rank, b in enumerate(blocks):
+        b["order"] = rank
+    return blocks
+
+
+def _sort_multicolumn(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    from ..functions import columns as col_kernel
+
+    boxes = _boxes_of(blocks)
+    page_width = int(boxes[:, 2].max()) if len(boxes) else 0
+    ranks, col_idx = col_kernel.multicolumn_order(boxes, page_width)
+    for b, r, c in zip(blocks, ranks, col_idx):
+        b["order"] = int(r)
+        b["column_index"] = int(c)
+    return sorted(blocks, key=lambda b: b["order"])
+
+
+# Sorter registry — the §2.9 extension-point surface (reference:
+# pipeline/layout/ordering/registry.py:23-157).  register_sorter() adds
+# custom entries; stage config picks by name, "auto" dispatches on kind.
+SORTERS: dict[str, Callable[[list[dict[str, Any]]], list[dict[str, Any]]]] = {
+    "mineru-xycut": _sort_xycut,
+    "fallback": _sort_fallback,
+    "preserve-detector-order": _sort_preserve,
+    "multicolumn": _sort_multicolumn,
+}
+
+
+def register_sorter(name: str, fn: Callable) -> None:
+    SORTERS[name] = fn
+
+
+def order_blocks(
+    blocks: list[dict[str, Any]], kind: str, sorter: str = "auto"
+) -> list[dict[str, Any]]:
+    """Overlap dedup + boilerplate drop + reading order for one document."""
+    blocks = [b for b in blocks if b.get("type") not in _NON_CONTENT_TYPES]
+    if not blocks:
+        return blocks
+    surviving = dedup_blocks.apply_overlap_dedup_order(
+        _boxes_of(blocks), [b["type"] for b in blocks]
+    )
+    blocks = [blocks[i] for i in surviving]
+    if sorter == "auto":
+        if kind == "html" or all(b.get("order") is not None for b in blocks):
+            return _sort_preserve(blocks)
+        return _sort_xycut(blocks)
+    return SORTERS[sorter](blocks)
 
 
 def order_batch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,83 @@
+"""Streaming ingest: extraction over a file-source stream + windowed
+rate metrics.
+
+- :func:`stream_extract` — readStream(pages parquet dir) -> the SAME
+  fused extraction transform as batch (mapInPandas is a stateless
+  streaming-compatible operator) -> parquet sink with
+  checkpointLocation.  Incremental semantics: each new file is
+  processed exactly once; a restart resumes from the checkpoint — the
+  streaming twin of CheckpointedRun's anti-join resume.
+- :func:`windowed_event_rates` — the reference's 60 s sliding rate
+  limiter (pipeline/recognition/api/ratelimit.py:24-140,
+  REQUEST_WINDOW_SECONDS=60) as a watermarked window aggregation with
+  late-data tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schema
+from ..plans.pipeline import extract
+
+
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(schema.PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_dir)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start (and by default drain) the streaming extraction query.
+
+    With ``available_now`` the query processes everything currently in
+    ``input_dir`` and stops — call again after new files land and only
+    those are processed (exactly-once via the checkpoint).
+    """
+    pages = read_pages_stream(spark, input_dir)
+    out = extract(pages, run_id="stream")
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def windowed_event_rates(
+    events: DataFrame,
+    window: str = "60 seconds",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Requests + value totals per (window, event_type) with late-data
+    watermarking — works on both streaming and batch DataFrames."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_requests",
+            "total_value",
+        )
+    )
