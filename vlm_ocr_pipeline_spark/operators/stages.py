@@ -160,6 +160,15 @@ def _sort_multicolumn(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
     return sorted(blocks, key=lambda b: b["order"])
 
 
+def _sort_layoutreader(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    from ..functions import layoutreader
+
+    ranks = layoutreader.layoutreader_order(blocks)
+    for b, r in zip(blocks, ranks):
+        b["order"] = int(r)
+    return sorted(blocks, key=lambda b: b["order"])
+
+
 # Sorter registry — the §2.9 extension-point surface (reference:
 # pipeline/layout/ordering/registry.py:23-157).  register_sorter() adds
 # custom entries; stage config picks by name, "auto" dispatches on kind.
@@ -168,11 +177,51 @@ SORTERS: dict[str, Callable[[list[dict[str, Any]]], list[dict[str, Any]]]] = {
     "fallback": _sort_fallback,
     "preserve-detector-order": _sort_preserve,
     "multicolumn": _sort_multicolumn,
+    "layoutreader": _sort_layoutreader,
 }
+
+# Detector registry: payload-kind front-ends (reference detector
+# registry, pipeline/layout/detection/registry.py:23-174).  A detector
+# takes the raw payload and returns (blocks, page_title).
+def _detect_html(payload: bytes) -> tuple[list[dict[str, Any]], str | None]:
+    page = html_extract.extract_html_page(payload.decode("utf-8", errors="replace"))
+    return page["blocks"], page["title"]
+
+
+def _detect_pdf(payload: bytes) -> tuple[list[dict[str, Any]], str | None]:
+    return pdf_extract.spans_to_blocks(pdf_extract.extract_pdf_spans(payload)), None
+
+
+DETECTORS: dict[str, Callable[[bytes], tuple[list[dict[str, Any]], str | None]]] = {
+    "dom": _detect_html,
+    "pdf-spans": _detect_pdf,
+}
+
+# detector x sorter compatibility (reference combination validation,
+# pipeline/layout/ordering/__init__.py:64-106): DOM blocks carry
+# synthetic geometry, so geometric sorters other than order-preserve
+# are invalid for them
+VALID_COMBOS: dict[str, set[str]] = {
+    "dom": {"preserve-detector-order", "fallback", "auto"},
+    "pdf-spans": {"mineru-xycut", "multicolumn", "layoutreader", "fallback", "auto"},
+}
+
+
+def validate_combo(detector: str, sorter: str) -> None:
+    allowed = VALID_COMBOS.get(detector)
+    if allowed is not None and sorter not in allowed:
+        raise ValueError(
+            f"sorter {sorter!r} is not valid for detector {detector!r}; "
+            f"allowed: {sorted(allowed)}"
+        )
 
 
 def register_sorter(name: str, fn: Callable) -> None:
     SORTERS[name] = fn
+
+
+def register_detector(name: str, fn: Callable) -> None:
+    DETECTORS[name] = fn
 
 
 def order_blocks(

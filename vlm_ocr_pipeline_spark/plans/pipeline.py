@@ -127,7 +127,29 @@ class CheckpointedRun:
         )
         return data
 
+    def _check_input_fingerprint(self, pages: DataFrame) -> None:
+        """Input validation on resume (reference progress.py:262-283):
+        the source schema must match what the checkpoints were built
+        from; a changed schema invalidates the workdir."""
+        import json
+
+        fp = {"schema": pages.schema.simpleString()}
+        path = os.path.join(self.workdir, "input_fingerprint.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            if prev != fp:
+                raise ValueError(
+                    f"input fingerprint changed since checkpoints were "
+                    f"written: {prev} != {fp}; use a fresh workdir"
+                )
+        else:
+            os.makedirs(self.workdir, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(fp, f)
+
     def run(self, pages: DataFrame, repartition_to: int | None = None) -> DataFrame:
+        self._check_input_fingerprint(pages)
         src = pages.select("url", "warc_ts", "html")
         if repartition_to:
             src = salted_repartition(src, repartition_to)
