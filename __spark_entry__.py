@@ -130,6 +130,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_price"),
         )
 
+    def pricing_summary(spark, sf):  # TPC-H Q1 shape (A3/A4 combined)
+        li = _t(spark, sf, "lineitem")
+        disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias(
+                    "sum_base_price"
+                ),
+                (F.sum(disc) / 100.0).alias("sum_disc_price"),
+                (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["pricing_summary"] = pricing_summary
+
     def median_quantity(spark, sf):  # A4
         return (
             _t(spark, sf, "lineitem")
@@ -290,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
             F.col("n_subwords_est").cast("long").alias("n_subwords_est"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
@@ -475,6 +495,19 @@ def oracle_sql() -> dict[str, str]:
                    AS total_price
         FROM orders
     """
+    o["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+               sum(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
     o["median_quantity"] = """
         SELECT l_returnflag,
                CAST(median(l_quantity) AS DOUBLE) AS median_qty,
@@ -535,6 +568,9 @@ def oracle_sql() -> dict[str, str]:
     o["token_count"] = f"""
         SELECT doc_id,
                CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all({collapse},
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_bpe_tokens,
                CAST(ceil(length({collapse}) / 4.0) AS BIGINT) AS n_subwords_est,
                CAST(length({collapse}) AS BIGINT) AS n_chars
         FROM documents

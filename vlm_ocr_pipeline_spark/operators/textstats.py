@@ -35,13 +35,21 @@ def _count_occurrences(haystack: Column, needle: str) -> Column:
     ).cast("int")
 
 
+# BPE-style pre-tokenizer pattern (GPT-2-ish word/number/punct split,
+# simplified to the RE2-compatible subset shared by Spark and DuckDB)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4),
-    the public rule-of-thumb bytes-per-token constant)."""
+    """Whitespace tokens, a BPE-ish regex pre-token count, and the
+    chars/4 rule-of-thumb subword estimate."""
     norm = _norm(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
         F.ceil(F.length(norm) / 4).cast("int").alias("n_subwords_est"),
         F.length(norm).alias("n_chars"),
     )
