@@ -146,3 +146,16 @@ def test_blocks_to_plaintext_mixed_order_key():
 def test_blocks_to_plaintext_all_unranked():
     blocks = [b("text", "b", y0=10, x0=5), b("text", "a", y0=10, x0=1)]
     assert blocks_to_plaintext(blocks) == "a\n\nb"
+
+
+def test_image_render_modes():
+    blk = b("image", text=None, order=0, image_path="p.png", description="d")
+    from vlm_ocr_pipeline_spark.functions.rendering import (
+        render_markdown,
+        render_plaintext,
+    )
+
+    assert render_plaintext([blk], "image_only") == "[IMAGE: p.png]"
+    assert render_plaintext([blk], "description_only") == "[FIGURE DESCRIPTION] d"
+    assert render_markdown([blk], "image_only") == "![d](p.png)"
+    assert render_markdown([blk], "description_only") == "**Figure:**\n\nd"

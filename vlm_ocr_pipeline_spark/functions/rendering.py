@@ -116,27 +116,32 @@ def blocks_to_markdown(blocks: list[Block]) -> str:
     return "\n\n".join(lines).strip()
 
 
-def _render_image_markdown(b: Block) -> str:
-    """rendering_stage.py:105-132, mode=image_and_description."""
+# image_render_mode values (rendering_stage.py:27-42)
+IMAGE_RENDER_MODES = ("image_only", "image_and_description", "description_only")
+
+
+def _render_image_markdown(b: Block, mode: str = "image_and_description") -> str:
+    """rendering_stage.py:105-132."""
     parts: list[str] = []
-    if b.get("image_path"):
+    if mode in ("image_only", "image_and_description") and b.get("image_path"):
         alt = (b.get("description") or "")[:50] or "Figure"
         parts.append(f"![{alt}]({b['image_path']})")
-    if b.get("description"):
-        parts.append(f"**Figure:**\n\n{b['description']}")
-    elif not b.get("image_path") and b.get("text"):
-        parts.append(f"**Figure:**\n\n{b['text']}")
+    if mode in ("description_only", "image_and_description"):
+        if b.get("description"):
+            parts.append(f"**Figure:**\n\n{b['description']}")
+        elif not b.get("image_path") and b.get("text"):
+            parts.append(f"**Figure:**\n\n{b['text']}")
     return "\n\n".join(parts)
 
 
-def render_markdown(blocks: list[Block]) -> str:
+def render_markdown(blocks: list[Block], image_render_mode: str = "image_and_description") -> str:
     """RenderingStage markdown (rendering_stage.py:63-103): per-block
     singleton rendering means no header-spacing blank lines."""
     lines: list[str] = []
     for b in rank_sort(blocks):
         t = (b.get("type") or "").lower()
         if t in ("image", "image_body", "figure", "chart"):
-            rendered = _render_image_markdown(b)
+            rendered = _render_image_markdown(b, image_render_mode)
         else:
             rendered = block_to_markdown(b)
         if rendered:
@@ -144,25 +149,26 @@ def render_markdown(blocks: list[Block]) -> str:
     return "\n\n".join(lines).strip()
 
 
-def _render_image_plaintext(b: Block) -> str:
-    """rendering_stage.py:187-211, mode=image_and_description."""
+def _render_image_plaintext(b: Block, mode: str = "image_and_description") -> str:
+    """rendering_stage.py:187-211."""
     parts: list[str] = []
-    if b.get("image_path"):
+    if mode in ("image_only", "image_and_description") and b.get("image_path"):
         parts.append(f"[IMAGE: {b['image_path']}]")
-    if b.get("description"):
-        parts.append(f"[FIGURE DESCRIPTION] {b['description']}")
-    elif not b.get("image_path") and b.get("text"):
-        parts.append(f"[FIGURE] {b['text']}")
+    if mode in ("description_only", "image_and_description"):
+        if b.get("description"):
+            parts.append(f"[FIGURE DESCRIPTION] {b['description']}")
+        elif not b.get("image_path") and b.get("text"):
+            parts.append(f"[FIGURE] {b['text']}")
     return "\n".join(parts)
 
 
-def render_plaintext(blocks: list[Block]) -> str:
+def render_plaintext(blocks: list[Block], image_render_mode: str = "image_and_description") -> str:
     """RenderingStage plaintext (rendering_stage.py:134-185)."""
     lines: list[str] = []
     for b in rank_sort(blocks):
         t = (b.get("type") or "").lower()
         if t in ("image", "image_body", "figure", "chart"):
-            rendered = _render_image_plaintext(b)
+            rendered = _render_image_plaintext(b, image_render_mode)
         else:
             text = _block_text(b)
             if t == "title":

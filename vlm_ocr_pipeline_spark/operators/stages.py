@@ -274,7 +274,9 @@ def _correct_blocks(blocks: list[dict[str, Any]], kind: str) -> None:
         b["correction_ratio"] = None
 
 
-def finish_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def finish_batch(
+    pdf: pd.DataFrame, image_render_mode: str = "image_and_description"
+) -> pd.DataFrame:
     """Stages 5-7 analog: block correction, page composition, markdown +
     plaintext rendering, page status."""
     from ..functions import rendering
@@ -291,8 +293,8 @@ def finish_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             {**b, "text": b.get("corrected_text") or b.get("text")} for b in blocks
         ]
         corrected = rendering.compose_page_text(corrected_view)
-        md = rendering.render_markdown(blocks)
-        pt = rendering.render_plaintext(blocks)
+        md = rendering.render_markdown(blocks, image_render_mode)
+        pt = rendering.render_plaintext(blocks, image_render_mode)
         if status.startswith("failed"):
             st = "partial"  # failed -> partial (output_stage.py:213-219)
         elif not blocks or not pt:
@@ -323,10 +325,12 @@ def finish_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def fused_extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def fused_extract_batch(
+    pdf: pd.DataFrame, image_render_mode: str = "image_and_description"
+) -> pd.DataFrame:
     """detect -> order -> finish composed in one pass (no intermediate
     Arrow round-trips) — the fast path when checkpoints are disabled."""
-    return finish_batch(order_batch(detect_batch(pdf)))
+    return finish_batch(order_batch(detect_batch(pdf)), image_render_mode)
 
 
 # ------------------------------------------------------- lineage wrapper

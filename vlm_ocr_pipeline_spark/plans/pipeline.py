@@ -55,19 +55,25 @@ def extract(
     run_id: str = "adhoc",
     repartition_to: int | None = None,
     keep_lineage: bool = False,
+    image_render_mode: str = "image_and_description",
 ) -> DataFrame:
     """Fused extraction: pages -> stage_text rows, lazily.
 
     Column pruning: only (url, warc_ts, html) are read — the payload
     column never travels past this stage (SURVEY §4.2).
     """
+    import functools
+
     src = pages.select("url", "warc_ts", "html")
     if repartition_to:
         src = salted_repartition(src, repartition_to)
     out_schema = schema.text_stage_schema()
     out_cols = [f.name for f in out_schema.fields if f.name != "_lineage"]
     fn = stages.with_lineage(
-        stages.fused_extract_batch, "extract_fused", run_id, out_cols
+        functools.partial(
+            stages.fused_extract_batch, image_render_mode=image_render_mode
+        ),
+        "extract_fused", run_id, out_cols,
     )
     out = src.mapInPandas(fn, schema=out_schema)
     if keep_lineage:
