@@ -33,8 +33,21 @@ def run(cpus: int, pages: int) -> dict:
     return json.loads(line)
 
 
+def run_best(cpus: int, pages: int, trials: int) -> dict:
+    """Best-of-N throughput per level — single runs vary ~10% with
+    machine state (turbo/page cache), which would dominate the ratio."""
+    best = None
+    for _ in range(trials):
+        r = run(cpus, pages)
+        if best is None or r["extract_docs_per_sec"] > best["extract_docs_per_sec"]:
+            best = r
+    return best
+
+
 def main() -> None:
-    pages = int(os.environ.get("SPARK_BENCH_PAGES", "40000"))
+    # large enough that per-worker interpreter startup (~1 s x workers)
+    # is noise next to parse time at the 4N level
+    pages = int(os.environ.get("SPARK_BENCH_PAGES", "120000"))
     # N vs 4N on a 32-core box: 4/16 leaves headroom for the JVM side
     # (Arrow conversion, parquet codec, shuffle threads), so the Python
     # stage scaling isn't confounded by core oversubscription — the raw
@@ -42,8 +55,9 @@ def main() -> None:
     # machine (memory bandwidth / clock ceiling, measured).
     lo = int(os.environ.get("SPARK_SCALE_LO", "4"))
     hi = int(os.environ.get("SPARK_SCALE_HI", "16"))
-    r_lo = run(lo, pages)
-    r_hi = run(hi, pages)
+    trials = int(os.environ.get("SPARK_SCALE_TRIALS", "2"))
+    r_lo = run_best(lo, pages, trials)
+    r_hi = run_best(hi, pages, trials)
     tput_lo = r_lo["extract_docs_per_sec"]
     tput_hi = r_hi["extract_docs_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)

@@ -19,9 +19,7 @@ def test_golden_byte_identity(start):
     for idx in range(start, start + 100):
         c = datagen.page_content(idx)
         if c["kind"] == "html":
-            payload = datagen.wrap_html(
-                c["title"], c["paras"], c["list_items"] if c["with_list"] else None
-            )
+            payload = datagen.html_for_content(c)
             blocks = html_extract.extract_html_page(payload)["blocks"]
             expected = datagen.expected_plaintext(c)
         else:

@@ -29,9 +29,13 @@ def test_fused_extract_byte_identical(spark, pages):
     assert out.count() == 120
 
 
-def test_extract_statuses_complete(spark, pages):
+def test_extract_statuses(spark, pages):
     out = extract(pages)
-    assert out.filter(F.col("status") != "complete").count() == 0
+    # empty pages (expected text "") must be 'incomplete', rest 'complete'
+    n_empty = pages.filter(F.col("text") == "").count()
+    assert out.filter(F.col("status") == "incomplete").count() == n_empty
+    assert out.filter(F.col("status") == "complete").count() == 120 - n_empty
+    assert n_empty > 0  # corpus includes empty pages by design
 
 
 def test_lineage_rows_cover_partitions(spark, pages):

@@ -56,7 +56,11 @@ def _words_for(rng: np.random.Generator, n: int) -> list[str]:
 
 
 def page_content(idx: int) -> dict:
-    """Deterministic content pieces for page ``idx``."""
+    """Deterministic content pieces for page ``idx``.
+
+    HTML pages mix in the FIXTURES.md §1 coverage set: lists, tables,
+    code blocks, figures with captions, a linky comments section
+    (must be stripped), and occasional empty pages."""
     rng = np.random.default_rng(idx + 1_000_003)
     n_paras = int(rng.integers(2, 6))
     paras = [
@@ -64,35 +68,91 @@ def page_content(idx: int) -> dict:
     ]
     kind = "pdf" if idx % 10 < 3 else "html"  # ~30% PDF payloads
     domain = "hot.example.com" if idx % 10 < 3 else f"site{idx % 997}.example.org"
+    is_html = kind == "html"
+    empty = is_html and idx % 31 == 17
+    w = paras[0].split()
     return {
         "title": f"Page {idx} overview",
-        "paras": paras,
+        "paras": [] if empty else paras,
         "kind": kind,
+        "empty": empty,
         "url": f"https://{domain}/p/{idx}",
         "two_col": kind == "pdf" and idx % 3 == 0,
-        "with_list": kind == "html" and idx % 4 == 0,
-        "list_items": [f"item {j} {paras[0].split()[j % 5]}" for j in range(3)],
+        "with_list": is_html and not empty and idx % 4 == 0,
+        "list_items": [f"item {j} {w[j % 5]}" for j in range(3)],
+        "with_table": is_html and not empty and idx % 5 == 1,
+        "table_rows": [("metric", "value"), (w[0], w[1]), (w[2], w[3])],
+        "with_code": is_html and not empty and idx % 6 == 2,
+        "code": f"def f_{idx}(x):\n    return x * {idx % 7}",
+        "with_figure": is_html and not empty and idx % 7 == 3,
+        "figure_alt": f"chart of {w[0]}",
+        "figure_caption": f"Figure {idx % 9}: {w[1]} over {w[2]} and more words",
     }
 
 
 def expected_plaintext(c: dict) -> str:
     """What the pipeline must produce for this page, computed from the
     content pieces only (never from the kernels)."""
+    if c.get("empty"):
+        return ""
     parts = [f"[TITLE] {c['title']}"]
     parts.extend(c["paras"])
     if c.get("with_list"):
         parts.extend(f"- {it}" for it in c["list_items"])
+    if c.get("with_table"):
+        parts.append("\n".join(" | ".join(r) for r in c["table_rows"]))
+    if c.get("with_code"):
+        parts.append(c["code"])
+    if c.get("with_figure"):
+        parts.append(f"[FIGURE DESCRIPTION] {c['figure_alt']}")
+        parts.append(c["figure_caption"])
     return "\n\n".join(parts)
 
 
 # --------------------------------------------------------------- HTML
-def wrap_html(title: str, paras: list[str], list_items: list[str] | None = None) -> str:
+def wrap_html(
+    title: str,
+    paras: list[str],
+    list_items: list[str] | None = None,
+    table_rows: list[tuple[str, str]] | None = None,
+    code: str | None = None,
+    figure: tuple[str, str] | None = None,  # (alt, caption)
+    empty: bool = False,
+) -> str:
     esc = html_mod.escape
     nav = "".join(f'<li><a href="/{x.lower()}">{x}</a></li>' for x in _NAV_LINKS)
     paras_html = "\n".join(f"<p>{esc(p)}</p>" for p in paras)
     list_html = ""
     if list_items:
         list_html = "<ul>" + "".join(f"<li>{esc(x)}</li>" for x in list_items) + "</ul>"
+    table_html = ""
+    if table_rows:
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in r) + "</tr>"
+            for r in table_rows
+        )
+        table_html = f"<table>{rows}</table>"
+    code_html = f"<pre>{esc(code)}</pre>" if code else ""
+    figure_html = ""
+    if figure:
+        alt, caption = figure
+        figure_html = (
+            f'<figure><img src="fig.png" alt="{esc(alt)}">'
+            f"<figcaption>{esc(caption)}</figcaption></figure>"
+        )
+    # a comments section: short, link-heavy rows the extractor must strip
+    comments = (
+        '<div class="comments">'
+        '<p><a href="/u/1">user1</a> nice</p>'
+        '<p><a href="/u/2">user2</a> +1 <a href="/reply">reply</a></p>'
+        "</div>"
+    )
+    article = "" if empty else f"""<h1>{esc(title)}</h1>
+{paras_html}
+{list_html}
+{table_html}
+{code_html}
+{figure_html}"""
     return f"""<!DOCTYPE html>
 <html lang="en"><head><title>{esc(title)} — Example Site</title>
 <style>body {{margin: 0}}</style><script>var x = 1;</script></head>
@@ -101,10 +161,9 @@ def wrap_html(title: str, paras: list[str], list_items: list[str] | None = None)
 <nav><ul>{nav}</ul></nav>
 <aside><p><a href="/rel1">Related one</a> <a href="/rel2">Related two</a></p></aside>
 <main><article>
-<h1>{esc(title)}</h1>
-{paras_html}
-{list_html}
+{article}
 </article></main>
+{comments}
 <footer><p>&copy; 2026 Example Site — <a href="/terms">Terms</a></p></footer>
 </body></html>"""
 
@@ -206,6 +265,19 @@ def expected_pdf_plaintext(c: dict) -> str:
     return "\n\n".join([f"[TITLE] {c['title']}"] + paras)
 
 
+def html_for_content(c: dict) -> str:
+    """wrap_html invocation for a page_content dict."""
+    return wrap_html(
+        c["title"],
+        c["paras"],
+        c["list_items"] if c.get("with_list") else None,
+        c["table_rows"] if c.get("with_table") else None,
+        c["code"] if c.get("with_code") else None,
+        (c["figure_alt"], c["figure_caption"]) if c.get("with_figure") else None,
+        empty=c.get("empty", False),
+    )
+
+
 # ------------------------------------------------------------- driver
 def _gen_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for b in batches:
@@ -219,10 +291,7 @@ def _gen_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
                 expected = expected_pdf_plaintext(c)
             else:
-                payload = wrap_html(
-                    c["title"], c["paras"],
-                    c["list_items"] if c["with_list"] else None,
-                ).encode("utf-8")
+                payload = html_for_content(c).encode("utf-8")
                 expected = expected_plaintext(c)
             rows.append(
                 {
