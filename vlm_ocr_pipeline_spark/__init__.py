@@ -23,3 +23,24 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# public API surface (lazy to keep `import vlm_ocr_pipeline_spark`
+# JVM-free for kernel-only users)
+def __getattr__(name):
+    if name in ("extract", "CheckpointedRun", "salted_repartition", "split_lineage"):
+        from .plans import pipeline
+
+        return getattr(pipeline, name)
+    if name == "get_spark":
+        from .plans.session import get_spark
+
+        return get_spark
+    if name == "synth_pages":
+        from .sources.datagen import synth_pages
+
+        return synth_pages
+    if name == "register_sql_functions":
+        from .plans.sqlfuncs import register_sql_functions
+
+        return register_sql_functions
+    raise AttributeError(name)
