@@ -57,3 +57,15 @@ def test_scale_dual_dpi():
     # recognition_dpi/detection_dpi = 2.0 (loader.py:161-191)
     b = np.array([[10, 20, 30, 41]])
     assert g.scale(b, 2.0).tolist() == [[20, 40, 60, 82]]
+
+
+def test_cxcywh_roundtrip():
+    out = g.cxcywh_to_xyxy(np.array([[200.0, 125.0, 200.0, 150.0]]))
+    assert out.tolist() == [[100, 50, 300, 200]]
+
+
+def test_pypdf_rect_y_flip():
+    # reference bbox.py example: BBox(100,50,300,200) @ H=792 ->
+    # [100, 592, 300, 742]
+    out = g.xyxy_to_pypdf_rect(np.array([[100, 50, 300, 200]]), 792)
+    assert out.tolist() == [[100, 592, 300, 742]]

@@ -105,3 +105,22 @@ def test_status_summary_aggregation(spark, pages):
         assert summary["n_pages"].sum() == 120
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_dedup_aware_extract_matches_plain(spark, pages):
+    from vlm_ocr_pipeline_spark.plans.pipeline import extract_dedup_aware
+
+    # duplicate ~half the pages under new urls (mirror domain)
+    mirror = pages.withColumn(
+        "url", F.concat(F.lit("https://mirror.example.net/"), F.md5("url"))
+    ).filter(F.xxhash64("text") % 2 == 0)
+    corpus = pages.unionByName(mirror)
+    n = corpus.count()
+    out = extract_dedup_aware(corpus)
+    assert out.count() == n
+    joined = out.join(corpus.select("url", F.col("text").alias("e")), "url")
+    assert joined.filter(F.col("rendered_plaintext") != F.col("e")).count() == 0
+    # lineage-level evidence the parse ran once per distinct payload
+    from vlm_ocr_pipeline_spark.plans.pipeline import extract as plain_extract
+
+    assert out.select("content_hash").distinct().count() == 120

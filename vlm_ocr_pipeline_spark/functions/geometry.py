@@ -107,3 +107,29 @@ def scale(boxes: np.ndarray, factor: float) -> np.ndarray:
     """Multiply coords by factor and round to int (dual-DPI block scaling,
     reference: pipeline/io/input/loader.py:161-191)."""
     return round_xyxy(np.asarray(boxes, dtype=np.float64) * float(factor))
+
+
+def cxcywh_to_xyxy(cxcywh: np.ndarray) -> np.ndarray:
+    """[center_x, center_y, w, h] -> rounded int [x0, y0, x1, y1]
+    (YOLO-style boxes; reference bbox.py from_cxcywh semantics: corners
+    are rounded from cx -/+ w/2)."""
+    a = np.asarray(cxcywh, dtype=np.float64)
+    out = np.empty_like(a)
+    out[..., 0] = a[..., 0] - a[..., 2] / 2
+    out[..., 1] = a[..., 1] - a[..., 3] / 2
+    out[..., 2] = a[..., 0] + a[..., 2] / 2
+    out[..., 3] = a[..., 1] + a[..., 3] / 2
+    return round_xyxy(out)
+
+
+def xyxy_to_pypdf_rect(boxes: np.ndarray, page_height: float) -> np.ndarray:
+    """Top-left-origin xyxy -> bottom-left-origin PDF rect
+    [x0, y0_bottom, x1, y1_bottom] with the reference's Y-axis flip
+    (bbox.py:405-411: y0_bottom = round(H - y1), y1_bottom = round(H - y0))."""
+    b = np.asarray(boxes)
+    out = np.empty_like(b)
+    out[..., 0] = b[..., 0]
+    out[..., 2] = b[..., 2]
+    out[..., 1] = np.round(page_height - b[..., 3])
+    out[..., 3] = np.round(page_height - b[..., 1])
+    return out

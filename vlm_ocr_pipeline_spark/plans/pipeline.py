@@ -81,6 +81,39 @@ def extract(
     return out.filter(F.col("_lineage").isNull()).drop("_lineage")
 
 
+def extract_dedup_aware(
+    pages: DataFrame,
+    run_id: str = "adhoc",
+    image_render_mode: str = "image_and_description",
+) -> DataFrame:
+    """Content-hash-memoized extraction: parse each DISTINCT payload
+    once, then broadcast-free join results back to every (url, warc_ts).
+
+    Real crawls carry 20-40% exact-duplicate payloads (mirrors,
+    trailing-slash variants, recrawls) — this is the distributed analog
+    of the reference's image-hash recognition cache
+    (pipeline/recognition/cache.py:37-52), except it actually has call
+    sites.  Cost: one shuffle on the 16-byte content hash (tiny rows),
+    in exchange for parsing only distinct payloads.
+    """
+    hashed = pages.select(
+        "url", "warc_ts", F.md5("html").alias("content_hash"), "html"
+    )
+    distinct_payloads = hashed.select("content_hash", "html").dropDuplicates(
+        ["content_hash"]
+    )
+    # reuse the fused stage over the distinct set, keyed by the hash
+    as_pages = distinct_payloads.select(
+        F.col("content_hash").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "html",
+    )
+    extracted = extract(
+        as_pages, run_id=run_id, image_render_mode=image_render_mode
+    ).withColumnRenamed("url", "content_hash").drop("warc_ts")
+    return hashed.drop("html").join(extracted, "content_hash")
+
+
 class CheckpointedRun:
     """Staged run with resumable parquet checkpoint tables.
 
