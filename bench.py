@@ -44,11 +44,11 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # ---- flagship: fused extraction over n_pages synthetic pages ----
-    # many small input files: the scan bin-packer then yields 2-4 task
-    # waves per core, which overlaps each task's JVM scan/Arrow phase
-    # with other tasks' Python parse phase (measured +25% at local[16]
-    # vs single-wave inputs) and evens HTML-vs-PDF cost variance
-    pages = synth_pages(spark, n_pages, partitions=max(128, cpus * 8))
+    # two input files per core: 256-row Arrow batches stream inside
+    # each task (JVM scan/Arrow overlaps Python parse) and the second
+    # wave absorbs cold-worker startup on one-shot runs; single-wave is
+    # marginally faster only when workers are already warm
+    pages = synth_pages(spark, n_pages, partitions=cpus * 2)
     pages.write.mode("overwrite").parquet(tmp := tempfile.mkdtemp() + "/pages")
     src = spark.read.parquet(tmp)  # bench reads from parquet like a real table
 
@@ -59,10 +59,12 @@ def main() -> None:
     sink = os.environ.get("SPARK_BENCH_SINK", "parquet")
     out_dir = tempfile.mkdtemp() + "/stage_text"
     t0 = time.monotonic()
+    # single-renderer run (the reference's RenderingStage config): one
+    # rendered column instead of two near-copies
     if sink == "count":
-        extract(src).count()
+        extract(src, renderer="markdown").count()
     else:
-        extract(src).write.mode("overwrite").parquet(out_dir)
+        extract(src, renderer="markdown").write.mode("overwrite").parquet(out_dir)
     t_extract = time.monotonic() - t0
     timings["extract"] = round(t_extract, 3)
     docs_per_sec = round(n_pages / t_extract, 1)

@@ -100,3 +100,34 @@ def test_script_style_skipped():
     page = extract_html_page(html)
     texts = [b["text"] for b in page["blocks"]]
     assert texts == ["visible content long enough"]
+
+
+def test_fast_scanner_equivalence():
+    """The regex scanner must produce IDENTICAL blocks to html.parser
+    on the golden corpus and on adversarial snippets."""
+    from vlm_ocr_pipeline_spark.sources import datagen
+
+    for idx in range(300):
+        c = datagen.page_content(idx)
+        if c["kind"] != "html":
+            continue
+        doc = datagen.html_for_content(c)
+        assert extract_html_page(doc, fast=True) == extract_html_page(doc, fast=False)
+
+    snippets = [
+        '<p>a &amp; b</p>',
+        '<p>unclosed <div><p>x</p>',
+        '<script>var x = "<p>no</p>";</script><p>real content here ok</p>',
+        '<IMG SRC=x ALT="Big Alt">',
+        "<img alt='single quotes'>",
+        '<img alt=bare>',
+        '<!-- <p>comment</p> --><p>after comment text here</p>',
+        '<!DOCTYPE html><p>doc ok fine</p>',
+        '<style>p {color: red}</style><p>styled text here ok</p>',
+        '<div/><p>weird self-closing div then text here</p>',
+        '<textarea><p>not a block</p></textarea><p>after textarea ok</p>',
+        '<p>trailing junk <',
+        '<pre>  spaced\n  code  </pre>',
+    ]
+    for s in snippets:
+        assert extract_html_page(s, fast=True) == extract_html_page(s, fast=False), s

@@ -124,3 +124,11 @@ def test_dedup_aware_extract_matches_plain(spark, pages):
     from vlm_ocr_pipeline_spark.plans.pipeline import extract as plain_extract
 
     assert out.select("content_hash").distinct().count() == 120
+
+
+def test_single_renderer_mode(spark, pages):
+    md = extract(pages.limit(20), renderer="markdown")
+    assert "rendered" in md.columns and "rendered_markdown" not in md.columns
+    pt = extract(pages.limit(20), renderer="plaintext")
+    joined = pt.join(pages.select("url", F.col("text").alias("e")), "url")
+    assert joined.filter(F.col("rendered") != F.col("e")).count() == 0

@@ -275,15 +275,23 @@ def _correct_blocks(blocks: list[dict[str, Any]], kind: str) -> None:
 
 
 def finish_batch(
-    pdf: pd.DataFrame, image_render_mode: str = "image_and_description"
+    pdf: pd.DataFrame,
+    image_render_mode: str = "image_and_description",
+    renderer: str = "both",
 ) -> pd.DataFrame:
-    """Stages 5-7 analog: block correction, page composition, markdown +
-    plaintext rendering, page status."""
+    """Stages 5-7 analog: block correction, page composition, rendering,
+    page status.
+
+    ``renderer``: "markdown" | "plaintext" emit one ``rendered`` column
+    (the reference's RenderingStage config); "both" emits the two
+    explicit columns (compat default)."""
     from ..functions import rendering
 
     raw_texts, corrected_texts, ratios, mds, pts, statuses, n_blocks = (
         [], [], [], [], [], [], []
     )
+    want_md = renderer in ("both", "markdown")
+    want_pt = renderer in ("both", "plaintext")
     processed_at = datetime.now(timezone.utc).replace(tzinfo=None)
     for blocks, kind, status in zip(pdf["blocks"], pdf["kind"], pdf["status"]):
         blocks = list(blocks)
@@ -293,11 +301,12 @@ def finish_batch(
             {**b, "text": b.get("corrected_text") or b.get("text")} for b in blocks
         ]
         corrected = rendering.compose_page_text(corrected_view)
-        md = rendering.render_markdown(blocks, image_render_mode)
-        pt = rendering.render_plaintext(blocks, image_render_mode)
+        md = rendering.render_markdown(blocks, image_render_mode) if want_md else None
+        pt = rendering.render_plaintext(blocks, image_render_mode) if want_pt else None
+        primary = pt if want_pt else md
         if status.startswith("failed"):
             st = "partial"  # failed -> partial (output_stage.py:213-219)
-        elif not blocks or not pt:
+        elif not blocks or not primary:
             st = "incomplete"
         else:
             st = "complete"
@@ -308,29 +317,39 @@ def finish_batch(
         pts.append(pt)
         statuses.append(st)
         n_blocks.append(len(blocks))
-    return pd.DataFrame(
+    out = {
+        "url": pdf["url"].to_numpy(),
+        "warc_ts": pdf["warc_ts"].to_numpy(),
+        "kind": pdf["kind"].to_numpy(),
+        "raw_text": raw_texts,
+        "corrected_text": corrected_texts,
+        "correction_ratio": ratios,
+    }
+    if renderer == "both":
+        out["rendered_markdown"] = mds
+        out["rendered_plaintext"] = pts
+    elif renderer == "markdown":
+        out["rendered"] = mds
+    else:
+        out["rendered"] = pts
+    out.update(
         {
-            "url": pdf["url"].to_numpy(),
-            "warc_ts": pdf["warc_ts"].to_numpy(),
-            "kind": pdf["kind"].to_numpy(),
-            "raw_text": raw_texts,
-            "corrected_text": corrected_texts,
-            "correction_ratio": ratios,
-            "rendered_markdown": mds,
-            "rendered_plaintext": pts,
             "n_blocks": n_blocks,
             "status": statuses,
             "processed_at": [processed_at] * len(pdf),
         }
     )
+    return pd.DataFrame(out)
 
 
 def fused_extract_batch(
-    pdf: pd.DataFrame, image_render_mode: str = "image_and_description"
+    pdf: pd.DataFrame,
+    image_render_mode: str = "image_and_description",
+    renderer: str = "both",
 ) -> pd.DataFrame:
     """detect -> order -> finish composed in one pass (no intermediate
     Arrow round-trips) — the fast path when checkpoints are disabled."""
-    return finish_batch(order_batch(detect_batch(pdf)), image_render_mode)
+    return finish_batch(order_batch(detect_batch(pdf)), image_render_mode, renderer)
 
 
 # ------------------------------------------------------- lineage wrapper

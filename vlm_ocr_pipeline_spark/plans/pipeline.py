@@ -56,22 +56,28 @@ def extract(
     repartition_to: int | None = None,
     keep_lineage: bool = False,
     image_render_mode: str = "image_and_description",
+    renderer: str = "both",
 ) -> DataFrame:
     """Fused extraction: pages -> stage_text rows, lazily.
 
     Column pruning: only (url, warc_ts, html) are read — the payload
     column never travels past this stage (SURVEY §4.2).
+    ``renderer``: "markdown"/"plaintext" emit a single ``rendered``
+    column (~25% fewer output bytes — bandwidth matters at scale);
+    "both" keeps the two explicit columns.
     """
     import functools
 
     src = pages.select("url", "warc_ts", "html")
     if repartition_to:
         src = salted_repartition(src, repartition_to)
-    out_schema = schema.text_stage_schema()
+    out_schema = schema.text_stage_schema(renderer)
     out_cols = [f.name for f in out_schema.fields if f.name != "_lineage"]
     fn = stages.with_lineage(
         functools.partial(
-            stages.fused_extract_batch, image_render_mode=image_render_mode
+            stages.fused_extract_batch,
+            image_render_mode=image_render_mode,
+            renderer=renderer,
         ),
         "extract_fused", run_id, out_cols,
     )

@@ -16,7 +16,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 1024  # docs per Arrow batch entering pandas stages
+# docs per Arrow batch entering pandas stages: SMALL batches stream —
+# the JVM writer thread feeds batch k+1 while Python parses batch k,
+# overlapping scan/Arrow with parse inside one task (measured +25% at
+# local[16] vs 1024-row batches on ~3 KB docs)
+ARROW_BATCH_ROWS = 256
 
 
 def get_spark(
@@ -40,10 +44,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
-        # extraction is CPU-heavy per byte: small scan splits keep all
-        # cores busy on payload tables (~3 KB/doc -> ~2-3k docs/task);
-        # raise for IO-bound relational scans if needed
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # one scan task per input file up to 64 MB: per-task handshake
+        # costs dominated multi-wave layouts; intra-task streaming (see
+        # ARROW_BATCH_ROWS) provides the overlap instead
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -75,8 +75,23 @@ def blocks_stage_schema() -> T.StructType:
     )
 
 
-def text_stage_schema() -> T.StructType:
-    """stage_text: correct+render output — the pipeline's deliverable."""
+def text_stage_schema(renderer: str = "both") -> T.StructType:
+    """stage_text: correct+render output — the pipeline's deliverable.
+
+    ``renderer`` mirrors the reference's RenderingStage config
+    (rendering_stage.py:27-42: markdown OR plaintext): a single-renderer
+    run emits one ``rendered`` column, cutting Arrow/output bytes ~25%
+    (the pipeline is memory-bandwidth-sensitive at high core counts);
+    "both" keeps the two explicit columns.
+    """
+    render_fields = {
+        "both": [
+            T.StructField("rendered_markdown", T.StringType()),
+            T.StructField("rendered_plaintext", T.StringType()),
+        ],
+        "markdown": [T.StructField("rendered", T.StringType())],
+        "plaintext": [T.StructField("rendered", T.StringType())],
+    }[renderer]
     return T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -85,8 +100,7 @@ def text_stage_schema() -> T.StructType:
             T.StructField("raw_text", T.StringType()),
             T.StructField("corrected_text", T.StringType()),
             T.StructField("correction_ratio", T.DoubleType()),
-            T.StructField("rendered_markdown", T.StringType()),
-            T.StructField("rendered_plaintext", T.StringType()),
+            *render_fields,
             T.StructField("n_blocks", T.IntegerType()),
             T.StructField("status", T.StringType()),
             T.StructField("processed_at", T.TimestampType()),
