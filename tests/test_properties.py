@@ -96,3 +96,27 @@ def test_renderers_total_and_deterministic(blocks):
         assert isinstance(a, str)
         # the double-newline block separator contract
         assert "\n\n\n\n\n" not in a or fn is rendering.blocks_to_markdown
+
+
+# ---- fast scanner vs html.parser fuzz -------------------------------------
+_tag_names = st.sampled_from(
+    ["p", "div", "li", "ul", "h1", "pre", "table", "tr", "td", "a",
+     "nav", "aside", "img", "br", "span", "b", "figcaption", "script"]
+)
+_fragment = st.one_of(
+    st.text(alphabet="abc <>&;/=\"'x1!-", max_size=12),
+    _tag_names.map(lambda t: f"<{t}>"),
+    _tag_names.map(lambda t: f"</{t}>"),
+    st.just("<!-- c -->"),
+    st.just("&amp;"),
+    st.just('<img alt="z">'),
+    st.just("<a href='/l'>link</a>"),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_fragment, max_size=25).map("".join))
+def test_fast_scanner_matches_stdlib_on_tag_soup(doc):
+    from vlm_ocr_pipeline_spark.functions.html_extract import extract_html_page
+
+    assert extract_html_page(doc, fast=True) == extract_html_page(doc, fast=False)

@@ -224,8 +224,17 @@ def detect_html_blocks(html: str) -> list[dict[str, Any]]:
 # is pinned by tests/test_html_extract.py::test_fast_scanner_equivalence
 # over the golden corpus + adversarial snippets.
 # ------------------------------------------------------------------
+# CLEAN-tag grammar only: a simple name and well-formed
+# whitespace-separated attributes (value optionally quoted, unquoted
+# values may contain but not start with quotes — mirroring
+# attrfind_tolerant's value rule), optional adjacent self-close.
+# Anything outside this shape falls back to stdlib html.parser mid-
+# document, so junk regions get byte-exact stdlib semantics while the
+# overwhelmingly common clean tags stay on the fast path.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"])[^>\s]*))?)*)"
+    r"\s*(/>|>)"
 )
 _ALT_RE = re.compile(r"""\balt\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""", re.IGNORECASE)
 # raw-text elements whose content must not be tokenized (html.parser's
@@ -265,11 +274,20 @@ def _fast_feed(blocker: "_DomBlocker", doc: str) -> None:
             i = n if end == -1 else end + 1
             continue
         m = _TAG_RE.match(doc, lt)
-        if m is None:  # stray '<'
-            emit("<")
+        if m is None:
+            if nxt.isalpha() or nxt == "/":
+                # malformed construct (unterminated quote etc.): hand
+                # the REST of the document to the stdlib parser driving
+                # the same blocker — exact-equivalence slow path for the
+                # rare junk region
+                blocker.feed(doc[lt:])
+                blocker.close()
+                return
+            emit("<")  # stray '<' before non-tag text
             i = lt + 1
             continue
         closing, name, attrs = m.group(1), m.group(2).lower(), m.group(3)
+        self_closed = m.group(4) == "/>"
         i = m.end()
         if closing:
             blocker.handle_endtag(name)
@@ -284,7 +302,7 @@ def _fast_feed(blocker: "_DomBlocker", doc: str) -> None:
             blocker.handle_starttag("img", [("alt", alt)] if alt is not None else [])
             continue
         blocker.handle_starttag(name, [])
-        if attrs.rstrip().endswith("/") and name not in _VOID:
+        if self_closed and name not in _VOID:
             # self-closed non-void element: emit the matching end event
             blocker.handle_endtag(name)
             continue
