@@ -34,6 +34,8 @@ def main() -> None:
                     help="salted repartition width for skewed inputs")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic pages into --input first")
+    ap.add_argument("--renderer", default="both",
+                    choices=["both", "markdown", "plaintext"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,7 +60,8 @@ def main() -> None:
         summary = {r["status"]: r["n_pages"] for r in
                    run.status_summary(text).collect()}
     else:
-        out = extract(pages, repartition_to=args.repartition)
+        out = extract(pages, repartition_to=args.repartition,
+                      renderer=args.renderer)
         path = f"{args.workdir}/stage_text_fused"
         out.write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
