@@ -262,6 +262,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_rollup"] = doc_rollup
 
+    def salted_agg(spark, sf):  # explicit skew handling (SURVEY §4.4)
+        from vlm_ocr_pipeline_spark.operators.skew import salted_two_phase_agg
+
+        e = _t(spark, sf, "events")
+        out = salted_two_phase_agg(
+            e,
+            F.col("user_id"),
+            {
+                "n_events": F.count("*"),
+                "total_cents": F.sum(_cents(F.col("value"))),
+            },
+            salt_buckets=8,
+        )
+        return out.select(
+            F.col("key").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("total_cents") / 100.0).alias("total_value"),
+        )
+
+    q["salted_agg"] = salted_agg
+
+    def extract_dedup(spark, sf):  # content-hash memoized extraction
+        from vlm_ocr_pipeline_spark.plans.pipeline import extract_dedup_aware
+        from vlm_ocr_pipeline_spark.sources.datagen import pages_from_documents
+
+        pages = pages_from_documents(spark, sf)
+        return extract_dedup_aware(pages).select(
+            "url", "content_hash", "rendered_plaintext"
+        )
+
+    q["extract_dedup"] = extract_dedup
+
     def extract_anchor(spark, sf):  # O10/F12 anchor text over blocks
         from vlm_ocr_pipeline_spark.functions.spanmatch import blocks_to_anchor_text
         from vlm_ocr_pipeline_spark.operators.stages import detect_batch, order_batch
@@ -462,6 +494,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT {_ORACLE_URL} AS url, CAST(2 AS BIGINT) AS n_blocks FROM documents
     """
 
+    o["salted_agg"] = """
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS total_value
+        FROM events GROUP BY user_id
+    """
     o["doc_rollup"] = """
         SELECT event_type, count(*) AS n, max(user_id) AS max_user
         FROM events GROUP BY ROLLUP(event_type)

@@ -65,3 +65,20 @@ def test_two_column_blocks_stay_separate():
     texts = [b["text"].replace("\n", " ") for b in blocks if b["type"] == "text"]
     assert len(texts) == 2
     assert texts[0].startswith("left") and texts[1].startswith("right")
+
+
+def test_flatedecode_stream_roundtrip():
+    plain = build_pdf("T Compressed", ["some body words here repeated often"],
+                      two_col=False, hyphenate=False, compress=False)
+    flate = build_pdf("T Compressed", ["some body words here repeated often"],
+                      two_col=False, hyphenate=False, compress=True)
+    assert b"/FlateDecode" in flate and b"/FlateDecode" not in plain
+    a = spans_to_blocks(extract_pdf_spans(plain))
+    b = spans_to_blocks(extract_pdf_spans(flate))
+    assert a == b  # identical spans/blocks either way
+
+
+def test_corrupt_flate_stream_skipped():
+    flate = build_pdf("T", ["words"], False, False, compress=True)
+    corrupted = flate.replace(b"stream\n", b"stream\nXX", 1)
+    assert extract_pdf_spans(corrupted) == []  # skipped, no crash

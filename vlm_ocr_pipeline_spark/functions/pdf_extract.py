@@ -37,7 +37,10 @@ PDF_MAGIC = b"%PDF"
 # in the payload).
 GLYPH_WIDTH_RATIO = 0.5
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_RE = re.compile(
+    rb"(?:(<<[^>]*?>>)\s*)?stream\r?\n(.*?)endstream", re.DOTALL
+)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]")
 _TOKEN_RE = re.compile(
     rb"""\((?:[^()\\]|\\.)*\)   # literal string
@@ -91,7 +94,17 @@ def extract_pdf_spans(payload: bytes) -> list[dict[str, Any]]:
 
     spans: list[dict[str, Any]] = []
     for sm in _STREAM_RE.finditer(payload):
-        spans.extend(_interpret_stream(sm.group(1), page_h))
+        obj_dict, stream = sm.group(1), sm.group(2)
+        if obj_dict and _FLATE_RE.search(obj_dict):
+            # FlateDecode content streams (zlib; PDF spec §7.4.4) —
+            # what real-world PDFs actually use
+            import zlib
+
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                continue  # corrupt stream: skip, keep other streams
+        spans.extend(_interpret_stream(stream, page_h))
     return spans
 
 

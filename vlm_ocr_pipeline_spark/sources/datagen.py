@@ -199,9 +199,13 @@ def _wrap_text(text: str, width_chars: int, hyphenate: bool) -> list[str]:
     return lines
 
 
-def build_pdf(title: str, paras: list[str], two_col: bool, hyphenate: bool) -> bytes:
+def build_pdf(
+    title: str, paras: list[str], two_col: bool, hyphenate: bool,
+    compress: bool = False,
+) -> bytes:
     """Emit a minimal, spec-conformant PDF whose content stream uses only
-    the Tm/Tf/Tj subset the parser in functions/pdf_extract.py handles."""
+    the Tm/Tf/Tj subset the parser in functions/pdf_extract.py handles;
+    ``compress`` FlateDecodes the content stream like real-world PDFs."""
     page_w, page_h = 612, 792
     ops: list[str] = ["BT", f"/F1 {TITLE_SIZE} Tf",
                       f"1 0 0 1 72 {page_h - 72} Tm",
@@ -229,6 +233,18 @@ def build_pdf(title: str, paras: list[str], two_col: bool, hyphenate: bool) -> b
         y -= PARA_SPACING - LINE_SPACING
     ops.append("ET")
     stream = "\n".join(ops).encode("latin-1")
+    if compress:
+        import zlib
+
+        stream = zlib.compress(stream)
+        contents = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(stream), stream)
+        )
+    else:
+        contents = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(stream) + 1, stream,
+        )
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -237,7 +253,7 @@ def build_pdf(title: str, paras: list[str], two_col: bool, hyphenate: bool) -> b
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
         ),
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream) + 1, stream),
+        contents,
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -287,7 +303,8 @@ def _gen_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c = page_content(idx)
             if c["kind"] == "pdf":
                 payload = build_pdf(
-                    c["title"], c["paras"], c["two_col"], hyphenate=True
+                    c["title"], c["paras"], c["two_col"], hyphenate=True,
+                    compress=idx % 2 == 0,  # half the PDFs FlateDecode
                 )
                 expected = expected_pdf_plaintext(c)
             else:
