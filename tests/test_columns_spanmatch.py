@@ -121,3 +121,20 @@ def test_anchor_text_length_budget_includes_crossing_line():
     lines = out.splitlines()
     assert total > 200  # the crossing line is included...
     assert sum(len(l) for l in lines[:-1]) <= 200  # ...but nothing after
+
+
+def test_clean_column_rects_dedupe_and_bottom_runs():
+    rects = [
+        [0, 0, 10, 50], [0, 0, 10, 50],      # adjacent duplicate -> one
+        [40, 0, 60, 52], [20, 0, 30, 55],     # bottoms within 10 -> x0 sort
+        [5, 100, 15, 200],                    # new bottom run
+    ]
+    out = columns.clean_column_rects(rects)
+    assert out == [
+        [0, 0, 10, 50], [20, 0, 30, 55], [40, 0, 60, 52],
+        [5, 100, 15, 200],
+    ]
+
+
+def test_clean_column_rects_short_input_passthrough():
+    assert columns.clean_column_rects([[1, 2, 3, 4]]) == [[1, 2, 3, 4]]

@@ -93,6 +93,44 @@ def assign_block_columns(
     return out
 
 
+_MIN_NBLOCK_LENGTH = 2
+_BOTTOM_TOLERANCE = 10
+
+
+def clean_column_rects(rects: list[list[int]]) -> list[list[int]]:
+    """The column_boxes final cleanup pass (O3), ported semantics-exact
+    from reference multi_column.py:244-274 ``_clean_nblocks``:
+
+    - adjacent identical rects deduped with a REVERSE scan that compares
+      each rect to its predecessor (including the quirky idx==0 step
+      where bb0 wraps to nblocks[-1] — preserved)
+    - runs of rects whose bottoms agree within 10 px are re-sorted by x0
+    Input/output: [x0, y0, x1, y1] lists; mutates a copy.
+    """
+    nblocks = [list(r) for r in rects]
+    if len(nblocks) < _MIN_NBLOCK_LENGTH:
+        return nblocks
+
+    for idx in range(len(nblocks) - 1, -1, -1):
+        if nblocks[idx - 1] == nblocks[idx]:
+            del nblocks[idx]
+
+    y1 = nblocks[0][3]
+    i0, i1 = 0, -1
+    for idx in range(1, len(nblocks)):
+        if abs(nblocks[idx][3] - y1) > _BOTTOM_TOLERANCE:
+            if i1 > i0:
+                nblocks[i0 : i1 + 1] = sorted(
+                    nblocks[i0 : i1 + 1], key=lambda r: r[0]
+                )
+            y1 = nblocks[idx][3]
+            i0 = idx
+        i1 = idx
+    if i1 > i0:
+        nblocks[i0 : i1 + 1] = sorted(nblocks[i0 : i1 + 1], key=lambda r: r[0])
+    return nblocks
+
+
 def multicolumn_order(
     boxes: np.ndarray,
     page_width: int,

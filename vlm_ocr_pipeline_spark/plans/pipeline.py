@@ -193,7 +193,14 @@ class CheckpointedRun:
             with open(path, "w") as f:
                 json.dump(fp, f)
 
-    def run(self, pages: DataFrame, repartition_to: int | None = None) -> DataFrame:
+    def run(
+        self,
+        pages: DataFrame,
+        repartition_to: int | None = None,
+        renderer: str = "both",
+    ) -> DataFrame:
+        import functools
+
         self._check_input_fingerprint(pages)
         src = pages.select("url", "warc_ts", "html")
         if repartition_to:
@@ -205,7 +212,10 @@ class CheckpointedRun:
             "stage_order", detected, stages.order_batch, schema.blocks_stage_schema()
         )
         text = self._run_stage(
-            "stage_text", ordered, stages.finish_batch, schema.text_stage_schema()
+            "stage_text",
+            ordered,
+            functools.partial(stages.finish_batch, renderer=renderer),
+            schema.text_stage_schema(renderer),
         )
         return text
 
