@@ -193,3 +193,73 @@ def test_bbox_conversions_parity():
             np.array([[ref.x0, ref.y0, ref.x1, ref.y1]]), 792
         )[0]
         assert pp == [int(v) for v in ours_pp]
+
+
+def test_multicolumn_merge_and_assignment_parity():
+    import pipeline.layout.ordering.pymupdf.multi_column as mc
+    from pipeline.types import BBox, Block
+
+    from vlm_ocr_pipeline_spark.functions import columns
+
+    sorter = mc.MultiColumnSorter.__new__(mc.MultiColumnSorter)
+    rng = np.random.default_rng(37)
+    for trial in range(300):
+        n_cols = int(rng.integers(1, 6))
+        col_boxes = _rand_boxes(rng, n_cols)
+        page_w = int(col_boxes[:, 2].max()) + 10
+        ref_cols = sorter._merge_column_boxes(
+            [{"bbox": BBox(*[int(v) for v in b])} for b in col_boxes], page_w
+        )
+        our_cols = columns.merge_column_boxes(col_boxes, page_w)
+        assert len(ref_cols) == len(our_cols), f"trial {trial}"
+        for rc, oc in zip(ref_cols, our_cols):
+            assert rc["index"] == oc["index"]
+            assert rc["center"] == oc["center"]
+            assert (rc["bbox"].x0, rc["bbox"].y0, rc["bbox"].x1, rc["bbox"].y1) == (
+                oc["x0"], oc["y0"], oc["x1"], oc["y1"])
+        if len(ref_cols) <= 1:
+            continue
+        # block -> column assignment + final ordering parity
+        n_blocks = int(rng.integers(1, 12))
+        blk_boxes = _rand_boxes(rng, n_blocks)
+        ref_blocks = sorter._sort_by_columns(_ref_blocks(blk_boxes), ref_cols)
+        ref_ranks = {}
+        for blk in ref_blocks:
+            key = (blk.bbox.x0, blk.bbox.y0, blk.bbox.x1, blk.bbox.y1)
+            ref_ranks.setdefault(key, []).append((blk.order, blk.column_index))
+        our_idx = columns.assign_block_columns(blk_boxes, our_cols)
+        order = np.lexsort((blk_boxes[:, 0], blk_boxes[:, 1], our_idx))
+        ranks = np.empty(n_blocks, dtype=int)
+        ranks[order] = np.arange(n_blocks)
+        for i, b in enumerate(blk_boxes):
+            key = tuple(int(v) for v in b)
+            assert (int(ranks[i]), int(our_idx[i])) in ref_ranks[key], f"trial {trial}"
+
+
+def test_layoutreader_line_split_parity():
+    import pipeline.layout.ordering.mineru.layoutreader as lr
+
+    from vlm_ocr_pipeline_spark.functions import layoutreader
+
+    sorter = lr.MinerULayoutReaderSorter.__new__(lr.MinerULayoutReaderSorter)
+    rng = np.random.default_rng(41)
+    for trial in range(300):
+        n = int(rng.integers(1, 10))
+        boxes = _rand_boxes(rng, n)
+        types = [
+            ["text", "title", "image", "table", "plain text"][i]
+            for i in rng.integers(0, 5, n)
+        ]
+        refs = _ref_blocks(boxes, types)
+        ref_lh = sorter._estimate_line_height(refs)
+        ours_blocks = [
+            {"type": types[i], "x0": int(boxes[i][0]), "y0": int(boxes[i][1]),
+             "x1": int(boxes[i][2]), "y1": int(boxes[i][3])}
+            for i in range(n)
+        ]
+        assert layoutreader.estimate_line_height(ours_blocks) == ref_lh
+        ref_lines = sorter._split_blocks_into_lines(refs, ref_lh, 10_000, 10_000)
+        our_lines = layoutreader.split_blocks_into_lines(ours_blocks, ref_lh)
+        assert [(l["block_idx"], l["bbox"]) for l in ref_lines] == [
+            (idx, bb) for bb, idx in our_lines
+        ], f"trial {trial}"
