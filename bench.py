@@ -106,10 +106,15 @@ def main() -> None:
         "extract_pages": n_pages,
         "extract_docs_per_sec": docs_per_sec,
     }
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
-    if os.path.exists(scaling_path):  # latest N-vs-4N evidence, if measured
-        with open(scaling_path) as f:
-            result["scaling"] = json.load(f)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (
+        ("scaling", "SCALING.json"),                  # local-mode N vs 4N
+        ("scaling_cluster", "SCALING_CLUSTER.json"),  # real executors N vs 4N
+    ):
+        path = os.path.join(here, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                result[key] = json.load(f)
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
     shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
     spark.stop()
