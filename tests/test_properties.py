@@ -17,7 +17,7 @@ boxes_strategy = st.lists(
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(boxes_strategy)
 def test_xycut_is_a_permutation(boxes):
     arr = np.array(boxes, dtype=np.int64).reshape(-1, 4)
@@ -26,7 +26,7 @@ def test_xycut_is_a_permutation(boxes):
     assert sorted(perm.tolist()) == list(range(len(arr)))
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(boxes_strategy)
 def test_fallback_order_is_sorted_by_y_x(boxes):
     arr = np.array(boxes, dtype=np.int64).reshape(-1, 4)
@@ -35,7 +35,7 @@ def test_fallback_order_is_sorted_by_y_x(boxes):
     assert keys == sorted(keys)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(boxes_strategy)
 def test_overlap_dedup_keeps_at_least_one_per_cluster(boxes):
     arr = np.array(boxes, dtype=np.int64).reshape(-1, 4)
@@ -52,14 +52,14 @@ text_strategy = st.text(
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(text_strategy)
 def test_span_merge_correct_idempotent(t):
     once = correction.span_merge_correct(t)
     assert correction.span_merge_correct(once) == once
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(text_strategy, text_strategy)
 def test_correction_ratio_bounds(a, b):
     r = correction.correction_ratio(a, b)
@@ -67,7 +67,7 @@ def test_correction_ratio_bounds(a, b):
     assert correction.correction_ratio(a, a) == 0.0
 
 
-@settings(max_examples=100, deadline=None)
+@settings(derandomize=True, max_examples=100, deadline=None)
 @given(
     st.lists(
         st.fixed_dictionaries(
@@ -114,7 +114,7 @@ _fragment = st.one_of(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 @given(st.lists(_fragment, max_size=25).map("".join))
 def test_fast_scanner_matches_stdlib_on_tag_soup(doc):
     from vlm_ocr_pipeline_spark.functions.html_extract import extract_html_page
