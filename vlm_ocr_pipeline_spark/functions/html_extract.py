@@ -264,14 +264,26 @@ def _fast_feed(blocker: "_DomBlocker", doc: str) -> None:
         if nxt == "!":
             if doc.startswith("<!--", lt):
                 end = find("-->", lt + 4)
-                i = n if end == -1 else end + 3
+                if end == -1:  # unterminated comment: stdlib EOF recovery
+                    blocker.feed(doc[lt:])
+                    blocker.close()
+                    return
+                i = end + 3
             else:  # doctype / CDATA-ish
                 end = find(">", lt)
-                i = n if end == -1 else end + 1
+                if end == -1:
+                    blocker.feed(doc[lt:])
+                    blocker.close()
+                    return
+                i = end + 1
             continue
         if nxt == "?":
             end = find(">", lt)
-            i = n if end == -1 else end + 1
+            if end == -1:
+                blocker.feed(doc[lt:])
+                blocker.close()
+                return
+            i = end + 1
             continue
         m = _TAG_RE.match(doc, lt)
         if m is None:
