@@ -562,9 +562,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """
+    # NOT EXISTS (not NOT IN): Spark's left_anti is NULL-tolerant, while
+    # NOT IN returns zero rows if the subquery ever yields a NULL key
     o["resume_anti_join"] = """
-        SELECT o_orderkey, o_orderstatus FROM orders
-        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        )
     """
     o["group_join_agg"] = """
         SELECT n_name, count(*) AS n_orders,

@@ -128,6 +128,13 @@ def test_fast_scanner_equivalence():
         '<textarea><p>not a block</p></textarea><p>after textarea ok</p>',
         '<p>trailing junk <',
         '<pre>  spaced\n  code  </pre>',
+        # raw-text close-tag matching must be case-insensitive and
+        # whitespace-tolerant, exactly like stdlib cdata mode
+        '<script>a</SCRIPT><p>early upper close kept content here</p><script>b</script>',
+        '<script>x</ script ><p>spaced close tag content here ok</p>',
+        '<script>y</scriptfoo></script><p>prefix-name is not a close</p>',
+        '<script>unterminated raw text at eof',
+        '<style>p{}</STYLE><p>styled after upper close ok here</p>',
     ]
     for s in snippets:
         assert extract_html_page(s, fast=True) == extract_html_page(s, fast=False), s

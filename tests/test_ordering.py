@@ -70,3 +70,20 @@ def test_fallback_sort_is_stable_y_then_x():
         [[50, 10, 60, 20], [10, 10, 20, 20], [10, 5, 20, 8]]
     )
     assert ordering.fallback_order(boxes).tolist() == [2, 1, 0]
+
+
+def test_sort_preserve_unranked_last():
+    """None-order blocks go LAST in original sequence (the renderer
+    convention, reference io/output/markdown/pymupdf4llm.py:241-246),
+    then all blocks are re-ranked densely."""
+    from vlm_ocr_pipeline_spark.operators.stages import _sort_preserve
+
+    blocks = [
+        {"order": None, "tag": "u1"},
+        {"order": 1, "tag": "r1"},
+        {"order": None, "tag": "u2"},
+        {"order": 0, "tag": "r0"},
+    ]
+    out = _sort_preserve([dict(b) for b in blocks])
+    assert [b["tag"] for b in out] == ["r0", "r1", "u1", "u2"]
+    assert [b["order"] for b in out] == [0, 1, 2, 3]

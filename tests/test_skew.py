@@ -46,3 +46,15 @@ def test_hot_key_probe_and_skew_join(spark, pages):
     assert joined.count() == fact.count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the hot slice broadcasts
+
+
+def test_salt_expression_is_deterministic(spark, pages):
+    """The salt must be a pure function of row content so task retries
+    reproduce identical (key, salt) partials — never
+    monotonically_increasing_id (nondeterministic across attempts)."""
+    out = skew.domain_stats(pages, salt_buckets=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    a = out.orderBy("domain").toPandas()
+    b = skew.domain_stats(pages, salt_buckets=4).orderBy("domain").toPandas()
+    assert a.equals(b)

@@ -116,3 +116,18 @@ def test_media_summary_prunes_payload(spark):
     media = multimodal.synth_media(spark, 50, partitions=2)
     out = multimodal.media_metadata_summary(media).toPandas()
     assert out["n"].sum() == 50
+
+
+def test_shingles_short_documents_yield_no_rows(spark):
+    """Docs with fewer than n words must produce ZERO shingles (DuckDB
+    generate_series(1,0) semantics) — not crash on Spark's descending
+    sequence(1,0) feeding slice() a 0 index."""
+    rows = [(0, "one two"), (1, "solo"), (2, "   "), (3, "one two three four")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = text_dedup.shingles(d).toPandas()
+    assert set(sh["doc_id"]) == {3}
+    assert len(sh) == 2  # 'one two three', 'two three four'
+    # the downstream ops must survive short docs end-to-end
+    assert text_dedup.ngram_jaccard_pairs(d, threshold=0.1).count() == 0
+    assert text_dedup.minhash_signatures(d, num_hashes=2).count() == 1
+    assert text_dedup.minhash_lsh_pairs(d, num_hashes=4, bands=2).count() == 0

@@ -241,6 +241,12 @@ _ALT_RE = re.compile(r"""\balt\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""", re.IGNO
 # CDATA_CONTENT_ELEMENTS — textarea is merely skipped, not raw, so both
 # tokenizers stay event-equivalent)
 _RAW_TEXT = {"script", "style"}
+# stdlib html.parser set_cdata_mode terminator: '</' + optional ws +
+# name + optional ws + '>' matched CASE-INSENSITIVELY — a plain
+# case-sensitive find('</script') diverges on e.g. an early '</SCRIPT>'
+# followed by a later lowercase one (it would swallow the intervening
+# content)
+_RAW_END = {name: re.compile(rf"</\s*{name}\s*>", re.IGNORECASE) for name in _RAW_TEXT}
 _unescape = __import__("html").unescape
 
 
@@ -319,17 +325,13 @@ def _fast_feed(blocker: "_DomBlocker", doc: str) -> None:
             blocker.handle_endtag(name)
             continue
         if name in _RAW_TEXT:
-            # skip raw content up to the real closing tag
-            low = doc
-            end = low.find(f"</{name}", i)
-            if end == -1:
-                end = low.lower().find(f"</{name}", i)
-            if end == -1:
-                blocker.handle_endtag(name)
-                return
-            gt = find(">", end)
+            # skip raw content up to the real closing tag, matched with
+            # the stdlib's own cdata-mode regex for exact equivalence
+            m2 = _RAW_END[name].search(doc, i)
             blocker.handle_endtag(name)
-            i = n if gt == -1 else gt + 1
+            if m2 is None:
+                return
+            i = m2.end()
 
 
 def fast_detect_html_blocks(html: str) -> "_DomBlocker":

@@ -42,8 +42,16 @@ def salted_two_phase_agg(
     expression; supported combiners are sum-like (the final phase
     re-sums partials) — count must be expressed as ``F.count(...)``
     whose partials sum correctly.
+
+    The salt is derived from row CONTENT (xxhash64 over every input
+    column), never from a nondeterministic expression such as
+    monotonically_increasing_id: a nondeterministic salt feeding a
+    shuffle can re-salt rows into different (key, salt) groups when a
+    task is retried or a stage recomputed after a fetch failure,
+    duplicating/losing partial aggregates.  Content hashing makes
+    re-executed tasks reproduce identical partials.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     partial = (
         df.withColumn("_k", key)
         .withColumn("_salt", salt)

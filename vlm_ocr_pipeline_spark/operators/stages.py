@@ -141,8 +141,14 @@ def _sort_fallback(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
 
 
 def _sort_preserve(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
-    """Keep detector-assigned order (doclayout_v2.py:109-120)."""
-    blocks.sort(key=lambda b: b["order"] if b.get("order") is not None else 0)
+    """Keep detector-assigned order; unranked blocks (order=None) go
+    LAST in their original sequence — the reference convention shared by
+    every renderer sort (io/output/markdown/pymupdf4llm.py:241-246 and
+    rank_sort here at functions/rendering.py)."""
+    ranked = [b for b in blocks if b.get("order") is not None]
+    unranked = [b for b in blocks if b.get("order") is None]
+    ranked.sort(key=lambda b: b["order"])
+    blocks = ranked + unranked
     for rank, b in enumerate(blocks):
         b["order"] = rank
     return blocks

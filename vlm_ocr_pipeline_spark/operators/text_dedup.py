@@ -52,9 +52,15 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     sequence + transform + slice (no Python in the hot path)."""
     w = _words(F.col(text_col))
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
+    # guard short documents: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0] (implicit step -1), which would feed slice() an index 0 and
+    # throw INVALID_PARAMETER_VALUE.START — where DuckDB's
+    # generate_series(1, 0) is simply empty.  Docs with < n words have
+    # no shingles on either engine.
+    sh = F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()

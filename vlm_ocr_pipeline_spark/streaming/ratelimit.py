@@ -57,8 +57,14 @@ def _limit_group(
         window = {}
 
     out_rows: list[dict[str, Any]] = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # applyInPandasWithState may split one key's micro-batch across
+    # several pandas chunks; sorting per-chunk would let a later chunk
+    # with earlier timestamps arrive after the window already advanced
+    # (evicted buckets are never re-admitted).  Concatenate ALL chunks
+    # and sort ONCE globally by (ts, event_id) for deterministic replay.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ev_id, ts in zip(pdf["event_id"], pdf["ts"]):
             sec = int(ts.value // 1_000_000_000)
             # evict buckets outside [sec - WINDOW + 1, sec]
