@@ -18,6 +18,11 @@ from pyspark.sql.window import Window
 
 SF0001 = "/root/testdata/sf0.001"
 
+# media queries persist their synthetic input here so the DuckDB oracle
+# can read the SAME table (read_parquet over the part files)
+MEDIA_TABLE_PATH = "/tmp/spark_graft_oracle_media.parquet"
+MEDIA_TABLE_ROWS = 200
+
 _EXTRACT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -437,24 +442,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_topk"] = lsh_topk
     q["embedding_neardup"] = embedding_neardup
 
-    # ============ multimodal plumbing (rows-only) =====================
+    # ============ multimodal plumbing (full-oracle) ===================
+    def _media_table(spark):
+        """Persist the deterministic media table so DuckDB reads the
+        exact same rows (payload bytes included)."""
+        from vlm_ocr_pipeline_spark.operators.multimodal import synth_media
+
+        synth_media(spark, MEDIA_TABLE_ROWS).write.mode("overwrite").parquet(
+            MEDIA_TABLE_PATH
+        )
+        return spark.read.parquet(MEDIA_TABLE_PATH)
+
     def media_features(spark, sf):
         from vlm_ocr_pipeline_spark.operators.multimodal import (
             deterministic_fake_decoder,
             extract_media_features,
-            synth_media,
         )
 
-        media = synth_media(spark, 200)
-        return extract_media_features(media, deterministic_fake_decoder)
+        feats = extract_media_features(_media_table(spark), deterministic_fake_decoder)
+        # features as exact u16 integers: the fake decoder emits dyadic
+        # rationals k/65536, so v*65536 round-trips losslessly.  An
+        # array<float> column would break the driver's pandas
+        # canonicalization (unhashable list) and float formatting is
+        # engine-specific — the integer CSV string is neither.
+        fstr = F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda v: F.round(v * 65536).cast("int").cast("string")
+            ),
+        )
+        return feats.select(
+            "media_id",
+            "kind",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("n_frames").cast("int").alias("n_frames"),
+            fstr.alias("features_u16"),
+            "status",
+        )
 
     def media_summary(spark, sf):
         from vlm_ocr_pipeline_spark.operators.multimodal import (
             media_metadata_summary,
-            synth_media,
         )
 
-        return media_metadata_summary(synth_media(spark, 200))
+        return media_metadata_summary(_media_table(spark))
 
     q["media_features"] = media_features
     q["media_summary"] = media_summary
@@ -758,5 +790,68 @@ def oracle_sql() -> dict[str, str]:
         FROM dots
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """
+
+    # ---- extract_dedup: content_hash = md5(html payload).  The HTML
+    # wrap (datagen.pages_from_documents -> wrap_html) is a fixed
+    # template around two holes (title 'Doc {id}' twice, escaped text
+    # once) — reconstruct the exact string in SQL and md5 it.
+    import re as _re
+
+    from vlm_ocr_pipeline_spark.sources import datagen as _dg
+
+    _tpl = _dg.wrap_html("\x00T\x00", ["\x00P\x00"])
+    _esc_text = (
+        "replace(replace(replace(replace(replace(text,"
+        "'&','&amp;'),'<','&lt;'),'>','&gt;'),'\"','&quot;'),'''','&#x27;')"
+    )
+    _parts = []
+    for _p in _re.split("(\x00[TP]\x00)", _tpl):
+        if _p == "\x00T\x00":
+            _parts.append("'Doc ' || doc_id")
+        elif _p == "\x00P\x00":
+            _parts.append(_esc_text)
+        elif _p:
+            _parts.append("'" + _p.replace("'", "''") + "'")
+    _html_expr = " || ".join(_parts)
+    o["extract_dedup"] = f"""
+        SELECT {_ORACLE_URL} AS url,
+               md5({_html_expr}) AS content_hash,
+               '[TITLE] Doc ' || doc_id || chr(10) || chr(10) || {collapse}
+                   AS rendered_plaintext
+        FROM documents
+    """
+
+    # ---- media oracles over the parquet the query persisted.  The
+    # fake decoder is sha256(lower-hex(payload)) + hex-slice math, all
+    # of which DuckDB can recompute.
+    _media_src = f"read_parquet('{MEDIA_TABLE_PATH}/*.parquet')"
+
+    def _hx(start: int, width: int) -> str:
+        return f"CAST(('0x' || substr(dh, {start}, {width})) AS INT)"
+
+    _feat_u16 = " || ',' || ".join(
+        f"CAST({_hx(4 * j + 1, 4)} AS VARCHAR)" for j in range(16)
+    )
+    o["media_features"] = f"""
+        WITH d AS (
+            SELECT media_id, kind, sha256(lower(hex(payload))) AS dh
+            FROM {_media_src}
+        )
+        SELECT media_id, kind,
+               CAST(64 + {_hx(17, 2)} % 192 AS INT) AS width,
+               CAST(64 + {_hx(19, 2)} % 192 AS INT) AS height,
+               CAST(CASE WHEN kind = 'image' THEN 1
+                         ELSE 1 + {_hx(21, 2)} % 32 END AS INT) AS n_frames,
+               {_feat_u16} AS features_u16,
+               'decoded' AS status
+        FROM d
+    """
+    o["media_summary"] = f"""
+        SELECT kind, format, count(*) AS n,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               avg(n_bytes) AS avg_bytes
+        FROM {_media_src}
+        GROUP BY kind, format
     """
     return o

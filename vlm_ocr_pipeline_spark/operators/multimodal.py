@@ -78,18 +78,26 @@ def real_decoder(kind: str, payload: bytes) -> dict:
 
 
 def deterministic_fake_decoder(kind: str, payload: bytes) -> dict:
-    """Seeded stand-in decoder: geometry + a 16-dim feature vector
-    derived from the payload digest (stable across runs/partitions)."""
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "big")
-    rng = np.random.default_rng(seed)
-    w = 64 + digest[8] % 192
-    h = 64 + digest[9] % 192
+    """Stand-in decoder: geometry + a 16-dim feature vector derived from
+    sha256 of the payload's lowercase-hex encoding (stable across
+    runs/partitions AND expressible in ANSI SQL, so the DuckDB oracle
+    can recompute it: sha256(lower(hex(payload))) + hex-slice math).
+
+    Feature j = int(digest_hex[4j:4j+4], 16) / 65536 — a dyadic
+    rational with <= 16 mantissa bits, so float32 == float64 exactly
+    and round-trips through 65536 * v back to the integer.
+    """
+    digest_hex = hashlib.sha256(payload.hex().encode("ascii")).hexdigest()
+    byte_at = lambda k: int(digest_hex[2 * k : 2 * k + 2], 16)  # noqa: E731
+    features = [
+        np.float32(int(digest_hex[4 * j : 4 * j + 4], 16) / 65536.0)
+        for j in range(16)
+    ]
     return {
-        "width": int(w),
-        "height": int(h),
-        "n_frames": 1 if kind == "image" else 1 + digest[10] % 32,
-        "features": rng.standard_normal(16).astype(np.float32).tolist(),
+        "width": 64 + byte_at(8) % 192,
+        "height": 64 + byte_at(9) % 192,
+        "n_frames": 1 if kind == "image" else 1 + byte_at(10) % 32,
+        "features": features,
     }
 
 
