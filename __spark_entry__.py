@@ -428,12 +428,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return op(_t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
 
-    def lsh_topk(spark, sf):  # approximate path — rows-only check
+    def lsh_topk(spark, sf):  # SRP bucket + Hamming-1 multi-probe (oracled)
         from vlm_ocr_pipeline_spark.operators.similarity import lsh_bucketed_topk
 
-        return lsh_bucketed_topk(_t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
+        return lsh_bucketed_topk(
+            _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10, hamming_probe=1
+        )
 
-    def embedding_neardup(spark, sf):  # rows-only check
+    def embedding_neardup(spark, sf):  # SRP bucket join (oracled)
         from vlm_ocr_pipeline_spark.operators.similarity import embedding_neardup_pairs
 
         return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
@@ -790,6 +792,80 @@ def oracle_sql() -> dict[str, str]:
         FROM dots
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """
+
+    # ---- SRP-bucketed ANN oracles: the hyperplane matrix is fully
+    # deterministic from seed 7, so it inlines as literals and the
+    # bucket assignment (sign of plane . vec) is recomputable in SQL.
+    from vlm_ocr_pipeline_spark.operators.similarity import _hyperplanes
+
+    _BITS, _DIM = 8, 64
+    _planes = _hyperplanes(_DIM, _BITS, seed=7)
+    _plane_vals = ", ".join(
+        f"({b}, {i + 1}, {float(_planes[b, i])!r})"
+        for b in range(_BITS)
+        for i in range(_DIM)
+    )
+    _bucket_ctes = f"""
+        planes(b, i, w) AS (VALUES {_plane_vals}),
+        e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ),
+        pdots AS (
+            SELECT vec_id, b, sum(CAST(v AS DOUBLE) * w) AS dot
+            FROM e JOIN planes USING (i) GROUP BY vec_id, b
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS INT) AS bucket
+            FROM pdots GROUP BY vec_id
+        )
+    """
+    o["lsh_topk"] = f"""
+        WITH {_bucket_ctes},
+        q AS (SELECT bucket AS qb FROM buckets WHERE vec_id = 0),
+        cand AS (
+            SELECT b2.vec_id FROM buckets b2, q
+            WHERE bit_count(xor(b2.bucket, q.qb)) <= 1
+        ),
+        qv AS (
+            SELECT generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        ce AS (SELECT e.vec_id, e.i, e.v FROM e JOIN cand USING (vec_id)),
+        cdots AS (
+            SELECT ce.vec_id,
+                   sum(CAST(ce.v AS DOUBLE) * CAST(qv.qv AS DOUBLE)) AS dot,
+                   sqrt(sum(CAST(ce.v AS DOUBLE) * CAST(ce.v AS DOUBLE))) AS ne,
+                   sqrt(sum(CAST(qv.qv AS DOUBLE) * CAST(qv.qv AS DOUBLE))) AS nq
+            FROM ce JOIN qv USING (i) GROUP BY ce.vec_id
+        )
+        SELECT vec_id, round(dot / (ne * nq), 6) AS cosine
+        FROM cdots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    o["embedding_neardup"] = f"""
+        WITH {_bucket_ctes},
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+            FROM buckets a
+            JOIN buckets b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        ),
+        pd AS (
+            SELECT p.vec_a, p.vec_b,
+                   sum(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS dot,
+                   sqrt(sum(CAST(ea.v AS DOUBLE) * CAST(ea.v AS DOUBLE))) AS na,
+                   sqrt(sum(CAST(eb.v AS DOUBLE) * CAST(eb.v AS DOUBLE))) AS nb
+            FROM pairs p
+            JOIN e ea ON ea.vec_id = p.vec_a
+            JOIN e eb ON eb.vec_id = p.vec_b AND ea.i = eb.i
+            GROUP BY p.vec_a, p.vec_b
+        )
+        SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+        FROM pd WHERE round(dot / (na * nb), 6) >= 0.3
     """
 
     # ---- extract_dedup: content_hash = md5(html payload).  The HTML

@@ -131,3 +131,42 @@ def test_shingles_short_documents_yield_no_rows(spark):
     assert text_dedup.ngram_jaccard_pairs(d, threshold=0.1).count() == 0
     assert text_dedup.minhash_signatures(d, num_hashes=2).count() == 1
     assert text_dedup.minhash_lsh_pairs(d, num_hashes=4, bands=2).count() == 0
+
+
+def test_multiprobe_recall_on_planted_neighbors(spark):
+    """Measured recall bound for the ANN scale path: 10 planted
+    near-duplicates (cosine ~0.99) of the query among 200 random
+    vectors.  Hamming-1 multi-probe must reach recall@10 >= 0.9 and
+    never do worse than the single-bucket probe."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    q = rng.standard_normal(dim)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(10):  # planted neighbors: tiny orthogonalized noise
+        n = rng.standard_normal(dim) * 0.05
+        v = q + n - q * (q @ n)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 210):
+        rows.append((i, [float(x) for x in rng.standard_normal(dim)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    query = [float(x) for x in q]
+    exact = set(
+        similarity.cosine_topk(emb, query, k=10).toPandas()["vec_id"]
+    )
+    multi = set(
+        similarity.lsh_bucketed_topk(
+            emb, query, k=10, bits=8, hamming_probe=1
+        ).toPandas()["vec_id"]
+    )
+    single = set(
+        similarity.lsh_bucketed_topk(
+            emb, query, k=10, bits=8, hamming_probe=0
+        ).toPandas()["vec_id"]
+    )
+    recall_multi = len(exact & multi) / len(exact)
+    recall_single = len(exact & single) / len(exact)
+    assert recall_multi >= 0.9, (recall_multi, recall_single)
+    assert recall_multi >= recall_single

@@ -91,28 +91,48 @@ def srp_bucket_udf(dim: int, bits: int = 8, seed: int = 7):
     return bucket
 
 
+def probe_buckets(qbucket: int, bits: int, hamming_probe: int = 0) -> list[int]:
+    """Buckets within ``hamming_probe`` bit flips of the query bucket
+    (multi-probe LSH: neighbors whose SRP signature differs in one
+    near-zero hyperplane land one bit away — probing them removes the
+    single-bucket recall cliff)."""
+    out = {qbucket}
+    if hamming_probe >= 1:
+        out.update(qbucket ^ (1 << j) for j in range(bits))
+    if hamming_probe >= 2:
+        out.update(
+            qbucket ^ (1 << j) ^ (1 << l)
+            for j in range(bits)
+            for l in range(j + 1, bits)
+        )
+    return sorted(out)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
     bits: int = 8,
     seed: int = 7,
+    hamming_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's SRP bucket.
+    """Approximate top-k: score only vectors in the query's SRP bucket
+    plus (multi-probe) buckets within ``hamming_probe`` bit flips.
 
     At cluster scale the bucket column becomes a partition/bucketing key
     of the embeddings table, so the probe prunes files instead of
-    filtering rows.
+    filtering rows; Hamming-1 probing reads bits+1 of 2^bits partitions.
     """
     dim = len(query)
     planes = _hyperplanes(dim, bits, seed)
     qbits = (planes @ np.asarray(query, dtype=np.float64)) >= 0
     qbucket = int((qbits @ (1 << np.arange(bits))).item())
+    probes = probe_buckets(qbucket, bits, hamming_probe)
     bucket = srp_bucket_udf(dim, bits, seed)
     cand = embeddings.withColumn("bucket", bucket(F.col(vec_col))).filter(
-        F.col("bucket") == F.lit(qbucket)
+        F.col("bucket").isin(probes)
     )
     return cosine_topk(cand, query, k, id_col, vec_col)
 
