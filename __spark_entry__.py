@@ -390,7 +390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard(spark, sf):
         from vlm_ocr_pipeline_spark.operators.text_dedup import ngram_jaccard_pairs
 
-        return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2)
+        # df cap 64: candidate generation ignores shingles shared by
+        # >64 docs (quadratic-blowup guard at scale); Jaccard stays
+        # exact over full shingle sets, and the oracle mirrors the cap
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), threshold=0.2, max_shingle_df=64
+        )
 
     def minhash_signatures(spark, sf):
         from vlm_ocr_pipeline_spark.operators.text_dedup import minhash_signatures as op
@@ -716,12 +721,17 @@ def oracle_sql() -> dict[str, str]:
             FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
         )
     """
+    # mirrors the Spark op: capped-universe Jaccard — shingles with
+    # document frequency > 64 are dropped from candidates, intersection
+    # AND set sizes consistently
     o["ngram_jaccard"] = f"""
         WITH {shingle_cte},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+        csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,

@@ -170,3 +170,44 @@ def test_multiprobe_recall_on_planted_neighbors(spark):
     recall_single = len(exact & single) / len(exact)
     assert recall_multi >= 0.9, (recall_multi, recall_single)
     assert recall_multi >= recall_single
+
+
+def test_ngram_jaccard_df_cap_semantics(spark):
+    """When the cap binds: pairs whose only overlap is a ubiquitous
+    shingle disappear, near-dup pairs survive, and the score is the
+    consistent capped-universe Jaccard (hot shingles excluded from both
+    intersection and set sizes)."""
+    hot = "zzz yyy xxx"  # one shingle shared by every doc
+    rows = [
+        (0, f"alpha beta gamma delta {hot}"),
+        (1, f"alpha beta gamma delta {hot}"),      # dup of 0
+        (2, f"unrelated words entirely here {hot}"),
+        (3, f"other totally different content {hot}"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = text_dedup.ngram_jaccard_pairs(d, threshold=0.01).toPandas()
+    capped = text_dedup.ngram_jaccard_pairs(
+        d, threshold=0.01, max_shingle_df=2
+    ).toPandas()
+    cap_keys = {(r.doc_a, r.doc_b) for r in capped.itertuples()}
+    unc_keys = {(r.doc_a, r.doc_b) for r in uncapped.itertuples()}
+    assert (0, 1) in cap_keys                      # real near-dup kept
+    assert (2, 3) in unc_keys and (2, 3) not in cap_keys  # hot-only pair pruned
+    j_cap = capped.set_index(["doc_a", "doc_b"]).loc[(0, 1), "jaccard"]
+    assert j_cap == 1.0  # identical docs stay jaccard 1 in the capped universe
+
+
+def test_ngram_jaccard_cap_unchanged_on_testdata(spark):
+    """With the production cap (64) the sf0.001 result is IDENTICAL to
+    uncapped — the cap is a scale guard, not a semantics change on
+    realistic corpora."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    unc = (
+        text_dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    cap = (
+        text_dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=64)
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    assert unc.equals(cap)

@@ -29,6 +29,22 @@ def _words(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
 
 
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan before a row-exploding stage.
+
+    Small parquet files are single row groups (unsplittable), so a
+    dedup over one synthetic file would otherwise run its explode +
+    aggregate at file-count parallelism (measured: the sf0.1 shingle
+    stage was ONE task, 5.9 s of the 7 s total).  A no-op when the
+    input is already wide — the 100 TB case, where inputs arrive in
+    thousands of splits and this must NOT add a shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(text: Column) -> Column:
     """Whitespace-collapsed, trimmed text (the dedup key normalizer)."""
     return F.trim(F.regexp_replace(text, r"\s+", " "))
@@ -62,7 +78,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     # no shingles on either engine.
     sh = F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -73,31 +90,72 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing >=1 shingle, scored with exact Jaccard.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard >= threshold.  The shingle self-join shuffles on the
-    shingle hash — skew-safe because shingles are near-unique; AQE
-    splits any hot shingle.
+    jaccard >= threshold.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap from the WHOLE computation (candidates, intersection, and
+    set sizes) — without it, a stop-word-ish shingle present in d
+    documents emits d^2 candidate rows, a quadratic blowup AQE cannot
+    split away at 100x scale.  A shingle shared by more than cap
+    documents carries no near-dup signal (it is the set-similarity
+    analog of an idf floor), so the capped-universe Jaccard is computed
+    consistently over informative shingles only: when the cap does not
+    bind the result is IDENTICAL to uncapped.
+
+    Plan shape (posting lists, not a self-join): ONE shuffle groups the
+    exploded shingles into per-shingle sorted doc lists (collect_set
+    dedups (doc, shingle) for free); the df cap filters the lists;
+    pair expansion happens JVM-side inside the same stage via nested
+    array transforms.  A capped list holds <= cap ids, so no reducer
+    ever sees more than cap^2 pair rows per shingle — the skew bound
+    the self-join lacked.
     """
-    sh = shingles(docs, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    w = _words(F.col(text_col))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    sh_arr = F.when(F.size(w) >= n, sh_arr).otherwise(F.array().cast("array<string>"))
+    exploded = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(sh_arr).alias("shingle")
+    )
+    lists = exploded.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+    if max_shingle_df is not None:
+        lists = lists.filter(F.size("ds") <= max_shingle_df)
+    lists = lists.cache()  # one row per (capped) shingle — tiny
+    sizes = (
+        lists.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    inter = (
+        lists.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa2 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa2, "doc_a")
+        .join(sb2, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -164,7 +222,7 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     md5(word)[p] >= '8' across the document's words.  Portable to SQL
     (same construction digit-by-digit)."""
     word = F.explode(_words(F.col(text_col))).alias("word")
-    exploded = docs.select(F.col(id_col).alias("doc_id"), word)
+    exploded = _spread(docs).select(F.col(id_col).alias("doc_id"), word)
     h = F.md5(F.col("word"))
     bit_aggs = [
         F.sum(
