@@ -415,11 +415,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash16(_t(spark, sf, "documents"))
 
+    def simhash64_neardup(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            simhash64_neardup_pairs,
+        )
+
+        return simhash64_neardup_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
     q["exact_dedup"] = exact_dedup
     q["ngram_jaccard"] = ngram_jaccard
     q["minhash_signatures"] = minhash_signatures
     q["minhash_lsh"] = minhash_lsh
     q["simhash"] = simhash
+    q["simhash64_neardup"] = simhash64_neardup
 
     # ============ similarity search ===================================
     def _query_vec(spark, sf) -> list[float]:
@@ -777,6 +785,47 @@ def oracle_sql() -> dict[str, str]:
         ),
         sums AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id)
         SELECT doc_id, {bit_concat} AS simhash FROM sums
+    """
+
+    # 64-bit simhash: bits 0-31 from md5(word), 32-63 from
+    # md5(word || '#2'); banded Hamming join (4 x 16-bit bands is
+    # exact for hamming <= 3 by pigeonhole)
+    def _bit64_sum(p: int) -> str:
+        src = "md5(word)" if p < 32 else "md5(word || '#2')"
+        pos = (p % 32) + 1
+        return (
+            f"sum(CASE WHEN substr({src}, {pos}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{p}"
+        )
+
+    _bit64_sums = ", ".join(_bit64_sum(p) for p in range(64))
+    _bit64_concat = " || ".join(
+        f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END" for p in range(64)
+    )
+    _ham64 = " + ".join(
+        f"CASE WHEN substr(sig_a, {p}, 1) <> substr(sig_b, {p}, 1) THEN 1 ELSE 0 END"
+        for p in range(1, 65)
+    )
+    o["simhash64_neardup"] = f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS word
+            FROM documents
+        ),
+        sums AS (SELECT doc_id, {_bit64_sums} FROM words GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_bit64_concat} AS sig FROM sums),
+        buckets AS (
+            SELECT doc_id, sig, t.b AS band, substr(sig, 16 * t.b + 1, 16) AS key
+            FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST({_ham64} AS INT) AS hamming
+        FROM pairs WHERE {_ham64} <= 3
     """
 
     o["cosine_topk"] = """

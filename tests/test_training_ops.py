@@ -211,3 +211,26 @@ def test_ngram_jaccard_cap_unchanged_on_testdata(spark):
         .orderBy("doc_a", "doc_b").toPandas()
     )
     assert unc.equals(cap)
+
+
+def test_simhash64_banded_join_is_exact(spark, docs):
+    """The 4x16-band join must find EXACTLY the brute-force all-pairs
+    hamming <= 3 set (pigeonhole guarantee), and identical docs have
+    hamming 0."""
+    import itertools
+
+    sig = text_dedup.simhash64(docs).toPandas().set_index("doc_id")["simhash64"]
+    assert sig.map(len).eq(64).all() and set("".join(sig)) <= {"0", "1"}
+    brute = {
+        (a, b, sum(x != y for x, y in zip(sig[a], sig[b])))
+        for a, b in itertools.combinations(sorted(sig.index), 2)
+        if sum(x != y for x, y in zip(sig[a], sig[b])) <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in text_dedup.simhash64_neardup_pairs(docs).toPandas().itertuples()
+    }
+    assert banded == brute
+    assert (0, 1, 0) in banded  # exact duplicates: hamming 0
+    with pytest.raises(ValueError):
+        text_dedup.simhash64_neardup_pairs(docs, max_hamming=4)

@@ -246,3 +246,91 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .agg(F.min("doc_id").alias("representative"), F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > 1)
     )
+
+
+def _simhash_bit(h: Column, p: int) -> Column:
+    return F.when(F.substring(h, p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word unigrams as a 64-char bit string.
+
+    Same portable per-hex-digit construction as :func:`simhash16`,
+    widened with a second hash md5(word || '#2') for bits 32-63 — a
+    16-bit signature has only 65,536 buckets, useless as a near-dup
+    signal at corpus scale (millions of docs per bucket); 64 bits is
+    the standard width (Charikar 2002 / Manku et al. 2007).
+    """
+    word = F.explode(_words(F.col(text_col))).alias("word")
+    exploded = _spread(docs).select(F.col(id_col).alias("doc_id"), word)
+    h1 = F.md5(F.col("word"))
+    h2 = F.md5(F.concat(F.col("word"), F.lit("#2")))
+    bit_aggs = [F.sum(_simhash_bit(h1, p)).alias(f"s{p}") for p in range(32)]
+    bit_aggs += [F.sum(_simhash_bit(h2, p)).alias(f"s{32 + p}") for p in range(32)]
+    summed = exploded.groupBy("doc_id").agg(*bit_aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(64)
+        ]
+    )
+    return summed.select("doc_id", bits.alias("simhash64"))
+
+
+def simhash64_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash: banded Hamming join.
+
+    The signature splits into 4 x 16-bit bands; by pigeonhole, any pair
+    with Hamming distance <= 3 shares at least one identical band, so
+    joining on (band, key) finds EVERY qualifying pair (the Manku et
+    al. 2007 multi-table scheme) while only same-band docs are ever
+    compared.  Output: (doc_a, doc_b, hamming), hamming <= max_hamming
+    (must stay <= 3 for the 4-band guarantee to be exact).
+
+    Scale note: run exact dedup first — a cluster of d identical docs
+    shares all bands and legitimately emits d^2/2 pairs.
+    """
+    if max_hamming > 3:
+        raise ValueError("4-band scheme is exact only for max_hamming <= 3")
+    sig = simhash64(docs, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash64", 16 * b + 1, 16).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.col("simhash64").alias("sig"), F.explode(bands).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = None
+    for p in range(1, 65):
+        term = (
+            F.substring("sig_a", p, 1) != F.substring("sig_b", p, 1)
+        ).cast("int")
+        ham = term if ham is None else ham + term
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
