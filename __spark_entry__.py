@@ -324,6 +324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gen, schema="url string, anchor string"
         )
 
+    def pdf_markdown_fonts(spark, sf):  # pymupdf4llm renderer, PDF path
+        from vlm_ocr_pipeline_spark.plans.pipeline import extract_pdf_font_markdown
+        from vlm_ocr_pipeline_spark.sources.datagen import pdf_pages_from_documents
+
+        pages = pdf_pages_from_documents(spark, sf)
+        return extract_pdf_font_markdown(pages).select("url", "rendered_markdown")
+
+    q["pdf_markdown_fonts"] = pdf_markdown_fonts
     q["extract_anchor"] = extract_anchor
     q["status_summary"] = status_summary
     q["stage_progress"] = stage_progress
@@ -559,6 +567,17 @@ def oracle_sql() -> dict[str, str]:
                'Page dimensions: 5x12' || chr(10) ||
                '[4x10]Doc ' || doc_id || chr(10) ||
                '[4x11]' || substr({_ORACLE_COLLAPSE}, 1, 50) AS anchor
+        FROM documents
+    """
+    # font-header markdown over single-body-line PDFs: title span 24 pt
+    # -> '# ', body 12 pt -> '## '; consecutive headers get the
+    # renderer's extra blank element (4 newlines under the \n\n join);
+    # the final strip() trims a trailing space when char 60 lands on one
+    o["pdf_markdown_fonts"] = f"""
+        SELECT 'https://docs.example.org/pdf/' || doc_id AS url,
+               rtrim('# Doc ' || doc_id || chr(10) || chr(10) || chr(10) || chr(10)
+                     || '## ' || substr({_ORACLE_COLLAPSE}, 1, 60))
+                   AS rendered_markdown
         FROM documents
     """
     o["status_summary"] = """

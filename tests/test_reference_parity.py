@@ -263,3 +263,51 @@ def test_layoutreader_line_split_parity():
         assert [(l["block_idx"], l["bbox"]) for l in ref_lines] == [
             (idx, bb) for bb, idx in our_lines
         ], f"trial {trial}"
+
+
+def test_pymupdf4llm_renderer_byte_parity():
+    """Our render_markdown_pymupdf4llm vs the reference's
+    blocks_to_markdown_with_fonts (io/output/markdown/pymupdf4llm.py)
+    on 400 randomized block/span layouts — byte equality, covering
+    header-level mapping, IoU matching, type fallbacks, unranked-last
+    ordering and the consecutive-header blank line."""
+    from pipeline.io.output.markdown import pymupdf4llm as ref
+
+    from vlm_ocr_pipeline_spark.functions.rendering import (
+        render_markdown_pymupdf4llm,
+    )
+
+    rng = np.random.default_rng(404)
+    texts_pool = [
+        "Chapter one", "- item", "a | b", "$$x$$", "x^2",
+        "plain text here", "", "* starred", "1. numbered", None,
+    ]
+    size_pool = [8.0, 10.0, 12.0, 14.0, 24.0, 36.0]
+    for trial in range(400):
+        n = int(rng.integers(0, 8))
+        m = int(rng.integers(0, 8))
+        boxes = _rand_boxes(rng, n) if n else np.zeros((0, 4), dtype=np.int64)
+        blocks, ref_blocks = [], []
+        for i in range(n):
+            t = _TYPES[rng.integers(0, len(_TYPES))]
+            text = texts_pool[rng.integers(0, len(texts_pool))]
+            corrected = (text + "!") if (text and rng.random() < 0.3) else None
+            order = int(rng.integers(0, 10)) if rng.random() < 0.7 else None
+            x0, y0, x1, y1 = (int(v) for v in boxes[i])
+            blocks.append({"type": t, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                           "text": text, "corrected_text": corrected,
+                           "order": order})
+            ref_blocks.append({"type": t, "bbox": [x0, y0, x1 - x0, y1 - y0],
+                               "text": text, "corrected_text": corrected,
+                               "order": order})
+        sboxes = _rand_boxes(rng, m) if m else np.zeros((0, 4), dtype=np.int64)
+        sizes = [float(size_pool[rng.integers(0, len(size_pool))]) for _ in range(m)]
+        spans = [{"x0": int(b[0]), "y0": int(b[1]), "x1": int(b[2]),
+                  "y1": int(b[3]), "size": s} for b, s in zip(sboxes, sizes)]
+        ref_spans = [{"bbox": [int(b[0]), int(b[1]), int(b[2]), int(b[3])],
+                      "size": s} for b, s in zip(sboxes, sizes)]
+        ours = render_markdown_pymupdf4llm(blocks, spans)
+        theirs = ref.blocks_to_markdown_with_fonts(
+            ref_blocks, {"text_spans": ref_spans}
+        )
+        assert ours == theirs, (trial, ours, theirs)

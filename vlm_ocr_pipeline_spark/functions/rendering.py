@@ -231,3 +231,86 @@ def blocks_to_plaintext(blocks: list[Block]) -> str:
     else:
         items.sort(key=lambda it: (it[0], it[1]))
     return "\n\n".join(it[2] for it in items)
+
+
+# --------------------------------------------------------------------
+# pymupdf4llm-style renderer: header levels from matched span font sizes
+# (reference io/output/markdown/pymupdf4llm.py:133-267, byte-exact)
+def _block_markdown_with_font(
+    b: Block,
+    spans: list[dict[str, Any]],
+    span_boxes,
+    levels: dict[float, int],
+    iou_threshold: float,
+) -> str:
+    """pymupdf4llm.py:134-188 block_to_markdown_with_font."""
+    from .spanmatch import match_block_with_spans
+
+    btype = (b.get("type") or "").lower()
+    text = b.get("corrected_text") or b.get("text") or ""
+    if not text:
+        return ""
+    idx = match_block_with_spans(
+        [b["x0"], b["y0"], b["x1"], b["y1"]], span_boxes, iou_threshold
+    )
+    size = spans[idx].get("size") if idx is not None else None
+    level = levels.get(size) if size is not None else None
+    if level is not None:
+        return "#" * level + " " + text
+    if btype in ("list", "list_item"):
+        if not text.startswith(("-", "*")):
+            return f"- {text}"
+        return text
+    if btype == "table":
+        if "|" in text:
+            return text
+        return f"**Table:**\n\n{text}"
+    if btype in ("figure", "image"):
+        return f"**Figure:** {text}"
+    if btype == "equation":
+        if text.startswith(("$$", "$")):
+            return text
+        return f"$${text}$$"
+    return text
+
+
+def render_markdown_pymupdf4llm(
+    blocks: list[Block],
+    spans: list[dict[str, Any]],
+    iou_threshold: float = 0.3,
+) -> str:
+    """Markdown with REAL header levels: each block is IoU-matched
+    (threshold 0.3) to its best text span; the top-3 distinct span font
+    sizes >= 12 pt map to #/##/### (pymupdf4llm.py:191-267).
+
+    Composition quirks preserved byte-exactly: reading-order sort only
+    happens when at least one block is ranked (unranked append last);
+    consecutive headers get an extra blank line element, which under the
+    '\\n\\n' join renders as a 4-newline gap."""
+    import numpy as np
+
+    from .spanmatch import font_size_header_levels
+
+    font_sizes = [s.get("size") for s in spans if s.get("size")]
+    levels = font_size_header_levels(font_sizes) if font_sizes else {}
+    span_boxes = np.array(
+        [[s["x0"], s["y0"], s["x1"], s["y1"]] for s in spans], dtype=np.float64
+    ).reshape(-1, 4)
+    ranked = [b for b in blocks if b.get("order") is not None]
+    unranked = [b for b in blocks if b.get("order") is None]
+    if ranked:
+        sorted_blocks = sorted(ranked, key=lambda b: b["order"]) + unranked
+    else:
+        sorted_blocks = list(blocks)
+    lines: list[str] = []
+    prev_was_header = False
+    for b in sorted_blocks:
+        md = _block_markdown_with_font(b, spans, span_boxes, levels, iou_threshold)
+        if not md:
+            continue
+        is_header = md.strip().startswith("#")
+        if is_header and prev_was_header:
+            lines.append("")
+        lines.append(md)
+        prev_was_header = is_header
+    return "\n\n".join(lines).strip()

@@ -358,6 +358,31 @@ def fused_extract_batch(
     return finish_batch(order_batch(detect_batch(pdf)), image_render_mode, renderer)
 
 
+def font_markdown_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """PDF-path pymupdf4llm-style extraction: spans + blocks + IoU-match
+    font-size header levels, fused in one pass (the spans never cross a
+    stage boundary — the third renderer needs them at render time,
+    reference io/output/markdown/pymupdf4llm.py:191-267)."""
+    from ..functions import rendering
+
+    urls = pdf["url"].to_numpy()
+    tss = pdf["warc_ts"].to_numpy()
+    mds, statuses = [], []
+    for payload in pdf["html"]:
+        try:
+            spans = pdf_extract.extract_pdf_spans(payload)
+            blocks = order_blocks(pdf_extract.spans_to_blocks(spans), "pdf")
+            _correct_blocks(blocks, "pdf")
+            mds.append(rendering.render_markdown_pymupdf4llm(blocks, spans))
+            statuses.append("complete" if blocks else "incomplete")
+        except Exception as e:
+            mds.append(None)
+            statuses.append(f"failed:{type(e).__name__}")
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": tss, "rendered_markdown": mds, "status": statuses}
+    )
+
+
 # ------------------------------------------------------- lineage wrapper
 def with_lineage(
     fn: PandasStage, stage: str, run_id: str, out_columns: list[str]

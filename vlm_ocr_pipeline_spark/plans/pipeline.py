@@ -87,6 +87,25 @@ def extract(
     return out.filter(F.col("_lineage").isNull()).drop("_lineage")
 
 
+def extract_pdf_font_markdown(pages: DataFrame, run_id: str = "adhoc") -> DataFrame:
+    """Fused PDF extraction with pymupdf4llm-style font-size header
+    levels (the reference's third markdown renderer).  Same zero-shuffle
+    shape as :func:`extract`: scan -> one mapInPandas -> columns."""
+    src = pages.select("url", "warc_ts", "html")
+    out_schema = (
+        "url string, warc_ts timestamp, rendered_markdown string, "
+        "status string, _lineage struct<run_id:string, stage:string, "
+        "partition_id:int, docs_in:long, docs_out:long, bytes_in:long, "
+        "wall_clock_ms:long, ts:timestamp>"
+    )
+    out_cols = ["url", "warc_ts", "rendered_markdown", "status"]
+    fn = stages.with_lineage(
+        stages.font_markdown_batch, "extract_font_md", run_id, out_cols
+    )
+    out = src.mapInPandas(fn, schema=out_schema)
+    return out.filter(F.col("_lineage").isNull()).drop("_lineage")
+
+
 def extract_dedup_aware(
     pages: DataFrame,
     run_id: str = "adhoc",

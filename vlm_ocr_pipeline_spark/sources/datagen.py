@@ -354,3 +354,43 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(gen, schema=schema.PAGES_SCHEMA)
+
+
+def pdf_pages_from_documents(
+    spark: SparkSession, sf_dir: str, max_chars: int = 60
+) -> DataFrame:
+    """Wrap the driver's ``documents`` table into single-body-line PDF
+    pages (body = first ``max_chars`` chars of the whitespace-collapsed
+    text, short enough to stay one wrapped line).
+
+    One line per block means every block IoU-matches its span, so the
+    font-header markdown is a pure SQL transform of ``documents``:
+    ``rtrim('# Doc ' || doc_id || 4 newlines || '## ' || substr(...))``
+    (title span 24 pt -> level 1, body 12 pt -> level 2, consecutive
+    headers get the renderer's extra blank element).
+    """
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                doc_id = int(doc_id)
+                body = re.sub(r"\s+", " ", text).strip()[:max_chars]
+                rows.append(
+                    {
+                        "url": f"https://docs.example.org/pdf/{doc_id}",
+                        "warc_ts": BASE_TS + timedelta(seconds=doc_id),
+                        "html": build_pdf(
+                            f"Doc {doc_id}", [body], two_col=False,
+                            hyphenate=False, compress=doc_id % 2 == 0,
+                        ),
+                        "text": None,
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema.PAGES_SCHEMA)
