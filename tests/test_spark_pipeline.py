@@ -132,3 +132,29 @@ def test_single_renderer_mode(spark, pages):
     pt = extract(pages.limit(20), renderer="plaintext")
     joined = pt.join(pages.select("url", F.col("text").alias("e")), "url")
     assert joined.filter(F.col("rendered") != F.col("e")).count() == 0
+
+
+def test_figure_crop_sink_roundtrip(spark, tmp_path):
+    """S14: crops written to parquet round-trip — each crop equals the
+    payload's byte span, image_path follows the reference naming scheme
+    (images/page_<num>_block_<idx>_<type>.png), and the description
+    matches the block's alt text."""
+    import re
+
+    from vlm_ocr_pipeline_spark.operators.figures import extract_figure_crops
+    from vlm_ocr_pipeline_spark.sources import datagen
+
+    pages = datagen.synth_pages(spark, 120, partitions=4).cache()
+    path = str(tmp_path / "figure_crops")
+    extract_figure_crops(pages).write.parquet(path)
+    crops = spark.read.parquet(path)
+    rows = crops.join(pages.select("url", "html"), "url").collect()
+    # figures exist on html pages with idx % 7 == 3 — must be non-empty
+    assert len(rows) > 0
+    for r in rows:
+        assert bytes(r.crop) == bytes(r.html)[r.byte_start : r.byte_end]
+        assert bytes(r.crop).lower().startswith(b"<img")
+        assert re.fullmatch(
+            rf"images/page_0_block_{r.block_idx}_image\.png", r.image_path
+        )
+        assert r.description and r.description.startswith("chart of ")
