@@ -806,45 +806,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {bit_concat} AS simhash FROM sums
     """
 
-    # 64-bit simhash: bits 0-31 from md5(word), 32-63 from
-    # md5(word || '#2'); banded Hamming join (4 x 16-bit bands is
-    # exact for hamming <= 3 by pigeonhole)
-    def _bit64_sum(p: int) -> str:
-        src = "md5(word)" if p < 32 else "md5(word || '#2')"
-        pos = (p % 32) + 1
-        return (
-            f"sum(CASE WHEN substr({src}, {pos}, 1) IN "
-            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{p}"
-        )
-
-    _bit64_sums = ", ".join(_bit64_sum(p) for p in range(64))
-    _bit64_concat = " || ".join(
-        f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END" for p in range(64)
+    # 64-bit simhash as BIGINT: bit p = majority vote of bit p of the
+    # 64-bit integer md5(word)[:16] (hi/lo 32-bit halves); banded
+    # Hamming join (4 x 16-bit bands is exact for hamming <= 3 by
+    # pigeonhole); hamming = bit_count(xor)
+    _c_sums = ", ".join(
+        [f"sum((hi >> {p}) & 1) AS c{p}" for p in range(32)]
+        + [f"sum((lo >> {p}) & 1) AS c{32 + p}" for p in range(32)]
     )
-    _ham64 = " + ".join(
-        f"CASE WHEN substr(sig_a, {p}, 1) <> substr(sig_b, {p}, 1) THEN 1 ELSE 0 END"
-        for p in range(1, 65)
+    # positive power terms first (partial sums stay in BIGINT range),
+    # the -2^63 sign-bit term last — matches the Spark fold order
+    _sig_expr = " + ".join(
+        f"(CASE WHEN 2 * c{p} >= n THEN CAST({1 << p} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for p in range(63)
+    )
+    _sig_expr += (
+        " + (CASE WHEN 2 * c63 >= n THEN "
+        "CAST(-9223372036854775807 - 1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     )
     o["simhash64_neardup"] = f"""
         WITH words AS (
             SELECT doc_id, unnest(string_split({collapse}, ' ')) AS word
             FROM documents
         ),
-        sums AS (SELECT doc_id, {_bit64_sums} FROM words GROUP BY doc_id),
-        sig AS (SELECT doc_id, {_bit64_concat} AS sig FROM sums),
-        buckets AS (
-            SELECT doc_id, sig, t.b AS band, substr(sig, 16 * t.b + 1, 16) AS key
-            FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)
+        hl AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+                   CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS lo
+            FROM words
         ),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.sig AS sig_a, b.sig AS sig_b
-            FROM buckets a
-            JOIN buckets b ON a.band = b.band AND a.key = b.key
-                          AND a.doc_id < b.doc_id
+        sums AS (SELECT doc_id, count(*) AS n, {_c_sums} FROM hl GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_sig_expr} AS sig FROM sums),
+        buckets AS (
+            SELECT doc_id, sig, t.b AS band, (sig >> (16 * t.b)) & 65535 AS key
+            FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)
         )
-        SELECT doc_a, doc_b, CAST({_ham64} AS INT) AS hamming
-        FROM pairs WHERE {_ham64} <= 3
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
     """
 
     o["cosine_topk"] = """

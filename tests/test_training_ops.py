@@ -220,11 +220,14 @@ def test_simhash64_banded_join_is_exact(spark, docs):
     import itertools
 
     sig = text_dedup.simhash64(docs).toPandas().set_index("doc_id")["simhash64"]
-    assert sig.map(len).eq(64).all() and set("".join(sig)) <= {"0", "1"}
+
+    def ham(a, b):
+        return bin((int(sig[a]) ^ int(sig[b])) & ((1 << 64) - 1)).count("1")
+
     brute = {
-        (a, b, sum(x != y for x, y in zip(sig[a], sig[b])))
+        (a, b, ham(a, b))
         for a, b in itertools.combinations(sorted(sig.index), 2)
-        if sum(x != y for x, y in zip(sig[a], sig[b])) <= 3
+        if ham(a, b) <= 3
     }
     banded = {
         (r.doc_a, r.doc_b, r.hamming)

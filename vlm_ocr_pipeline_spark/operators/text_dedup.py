@@ -29,20 +29,7 @@ def _words(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
 
 
-def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Spread a narrow scan before a row-exploding stage.
-
-    Small parquet files are single row groups (unsplittable), so a
-    dedup over one synthetic file would otherwise run its explode +
-    aggregate at file-count parallelism (measured: the sf0.1 shingle
-    stage was ONE task, 5.9 s of the 7 s total).  A no-op when the
-    input is already wide — the 100 TB case, where inputs arrive in
-    thousands of splits and this must NOT add a shuffle.
-    """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ..partitioning import spread_narrow as _spread  # noqa: E402  (shared helper)
 
 
 def normalize_text(text: Column) -> Column:
@@ -222,11 +209,16 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     md5(word)[p] >= '8' across the document's words.  Portable to SQL
     (same construction digit-by-digit)."""
     word = F.explode(_words(F.col(text_col))).alias("word")
-    exploded = _spread(docs).select(F.col(id_col).alias("doc_id"), word)
-    h = F.md5(F.col("word"))
+    # project the hash ONCE per row — referencing F.md5 inside each agg
+    # expression would recompute it per bit (16x the md5 calls)
+    exploded = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), word)
+        .select("doc_id", F.md5(F.col("word")).alias("h"))
+    )
     bit_aggs = [
         F.sum(
-            F.when(F.substring(h, p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+            F.when(F.substring(F.col("h"), p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
         ).alias(f"s{p}")
         for p in range(16)
     ]
@@ -248,33 +240,56 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def _simhash_bit(h: Column, p: int) -> Column:
-    return F.when(F.substring(h, p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-
-
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word unigrams as a 64-char bit string.
+    """64-bit SimHash over word unigrams as a BIGINT signature.
 
-    Same portable per-hex-digit construction as :func:`simhash16`,
-    widened with a second hash md5(word || '#2') for bits 32-63 — a
-    16-bit signature has only 65,536 buckets, useless as a near-dup
-    signal at corpus scale (millions of docs per bucket); 64 bits is
-    the standard width (Charikar 2002 / Manku et al. 2007).
+    Bit p of a word's hash = bit p of the 64-bit integer spelled by the
+    first 16 hex digits of md5(word), read as two 32-bit halves (hi =
+    digits 1-8 -> bits 0-31, lo = digits 9-16 -> bits 32-63).  Per-doc
+    bit p is the majority vote: set iff 2 * count(words with bit p) >=
+    n_words (ties set, matching the s >= 0 convention of simhash16).
+
+    Integer representation, not a bit string: the per-bit aggregation
+    is 64 shift-and-mask sums (cheap integer codegen vs 64 substring
+    CASEs, measured 5.6 s -> ~1 s at sf0.1), downstream Hamming is a
+    single bit_count(xor), and the whole construction is recomputable
+    in DuckDB ('0x' hex casts, >>, &, xor, bit_count).
+
+    16-bit signatures have only 65,536 buckets — useless at corpus
+    scale; 64 bits is the standard width (Charikar 2002 / Manku et al.
+    2007).
     """
     word = F.explode(_words(F.col(text_col))).alias("word")
-    exploded = _spread(docs).select(F.col(id_col).alias("doc_id"), word)
-    h1 = F.md5(F.col("word"))
-    h2 = F.md5(F.concat(F.col("word"), F.lit("#2")))
-    bit_aggs = [F.sum(_simhash_bit(h1, p)).alias(f"s{p}") for p in range(32)]
-    bit_aggs += [F.sum(_simhash_bit(h2, p)).alias(f"s{32 + p}") for p in range(32)]
-    summed = exploded.groupBy("doc_id").agg(*bit_aggs)
-    bits = F.concat(
-        *[
-            F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(64)
-        ]
+    h = F.md5(F.col("word"))
+    exploded = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), word)
+        .select(
+            "doc_id",
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+        )
     )
-    return summed.select("doc_id", bits.alias("simhash64"))
+    aggs = [F.count("*").alias("n")]
+    for p in range(32):
+        aggs.append(F.sum(F.shiftright("hi", p).bitwiseAND(F.lit(1))).alias(f"c{p}"))
+    for p in range(32):
+        aggs.append(
+            F.sum(F.shiftright("lo", p).bitwiseAND(F.lit(1))).alias(f"c{32 + p}")
+        )
+    summed = exploded.groupBy("doc_id").agg(*aggs)
+    # positives first, the sign-bit term (-2^63) last: the positive
+    # partial sums stay within long range, then the final add wraps to
+    # the intended two's-complement pattern
+    sig = F.lit(0).cast("long")
+    for p in range(63):
+        bit = F.when(F.col(f"c{p}") * 2 >= F.col("n"), 1).otherwise(0).cast("long")
+        sig = sig + bit * F.lit(1 << p).cast("long")
+    sign_bit = (
+        F.when(F.col("c63") * 2 >= F.col("n"), 1).otherwise(0).cast("long")
+    )
+    sig = sig + sign_bit * F.lit(-(1 << 63)).cast("long")
+    return summed.select("doc_id", sig.alias("simhash64"))
 
 
 def simhash64_neardup_pairs(
@@ -289,8 +304,9 @@ def simhash64_neardup_pairs(
     with Hamming distance <= 3 shares at least one identical band, so
     joining on (band, key) finds EVERY qualifying pair (the Manku et
     al. 2007 multi-table scheme) while only same-band docs are ever
-    compared.  Output: (doc_a, doc_b, hamming), hamming <= max_hamming
-    (must stay <= 3 for the 4-band guarantee to be exact).
+    compared.  Hamming distance is a single bit_count(xor).  Output:
+    (doc_a, doc_b, hamming), hamming <= max_hamming (must stay <= 3 for
+    the 4-band guarantee to be exact).
 
     Scale note: run exact dedup first — a cluster of d identical docs
     shares all bands and legitimately emits d^2/2 pairs.
@@ -302,7 +318,9 @@ def simhash64_neardup_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.substring("simhash64", 16 * b + 1, 16).alias("key"),
+                F.shiftright("simhash64", 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
             )
             for b in range(4)
         ]
@@ -318,19 +336,9 @@ def simhash64_neardup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = None
-    for p in range(1, 65):
-        term = (
-            F.substring("sig_a", p, 1) != F.substring("sig_b", p, 1)
-        ).cast("int")
-        ham = term if ham is None else ham + term
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))

@@ -336,7 +336,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see __spark_entry__.oracle_sql): title block ``Doc {doc_id}`` +
     one paragraph = whitespace-collapsed ``text``.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..partitioning import spread_narrow
+
+    docs = spread_narrow(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -371,7 +373,9 @@ def pdf_pages_from_documents(
     """
     import re
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..partitioning import spread_narrow
+
+    docs = spread_narrow(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
