@@ -430,12 +430,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash64_neardup_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
+    def dedup_apply(spark, sf):  # the keep-one-per-content filter step
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            dedup_keep_representatives,
+        )
+
+        return dedup_keep_representatives(_t(spark, sf, "documents")).select("doc_id")
+
+    def neardup_clusters(spark, sf):  # connected components over LSH pairs
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            neardup_clusters as op,
+        )
+
+        return op(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+
     q["exact_dedup"] = exact_dedup
     q["ngram_jaccard"] = ngram_jaccard
     q["minhash_signatures"] = minhash_signatures
     q["minhash_lsh"] = minhash_lsh
     q["simhash"] = simhash
     q["simhash64_neardup"] = simhash64_neardup
+    q["dedup_apply"] = dedup_apply
+    q["neardup_clusters"] = neardup_clusters
 
     # ============ similarity search ===================================
     def _query_vec(spark, sf) -> list[float]:
@@ -788,6 +804,46 @@ def oracle_sql() -> dict[str, str]:
         FROM buckets a
         JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """
+    o["dedup_apply"] = f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY md5({collapse})
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """
+    # connected components over the LSH pair graph: the recursive CTE
+    # computes, per doc, the min id reachable through near-dup edges —
+    # exactly what the Spark min-label propagation converges to
+    o["neardup_clusters"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        sig AS (SELECT doc_id, {mh8} FROM sh GROUP BY doc_id),
+        buckets AS ({band_rows}),
+        lshp AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM lshp
+            UNION ALL
+            SELECT doc_b, doc_a FROM lshp
+        ),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        ),
+        rep AS (SELECT doc_id, min(r) AS representative FROM reach GROUP BY doc_id),
+        sizes AS (
+            SELECT representative, count(*) AS cluster_size
+            FROM rep GROUP BY representative
+        )
+        SELECT rep.doc_id, rep.representative, sizes.cluster_size
+        FROM rep JOIN sizes USING (representative)
     """
     bit_sums = ", ".join(
         "sum(CASE WHEN substr(md5(word), %d, 1) IN "

@@ -311,3 +311,33 @@ def test_pymupdf4llm_renderer_byte_parity():
             ref_blocks, {"text_spans": ref_spans}
         )
         assert ours == theirs, (trial, ours, theirs)
+
+
+def test_block_type_maps_full_parity():
+    """Every detector vocabulary map matches BlockTypeMapper.map_type
+    for every key it defines, plus unknown-label passthrough — all 5
+    reference maps (types/block.py:80-186) are present."""
+    from pipeline.types.block import BlockTypeMapper
+
+    from vlm_ocr_pipeline_spark.functions.block_types import (
+        DETECTOR_TYPE_MAPS, map_type,
+    )
+
+    ref_maps = {
+        "doclayout-yolo": BlockTypeMapper.DOCLAYOUT_YOLO_MAP,
+        "mineru-doclayout-yolo": BlockTypeMapper.MINERU_DOCLAYOUT_YOLO_MAP,
+        "mineru-vlm": BlockTypeMapper.MINERU_VLM_MAP,
+        "olmocr-vlm": BlockTypeMapper.OLMOCR_VLM_MAP,
+        "paddleocr-doclayout-v2": BlockTypeMapper.PADDLEOCR_DOCLAYOUT_V2_MAP,
+    }
+    for det, ref_map in ref_maps.items():
+        assert det in DETECTOR_TYPE_MAPS, det
+        for label in ref_map:
+            assert map_type(label, det) == BlockTypeMapper.map_type(label, det), (
+                det, label,
+            )
+            # case-insensitivity parity
+            assert map_type(label.upper(), det) == BlockTypeMapper.map_type(
+                label.upper(), det
+            )
+        assert map_type("no_such_label", det) == "no_such_label"

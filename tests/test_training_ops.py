@@ -237,3 +237,25 @@ def test_simhash64_banded_join_is_exact(spark, docs):
     assert (0, 1, 0) in banded  # exact duplicates: hamming 0
     with pytest.raises(ValueError):
         text_dedup.simhash64_neardup_pairs(docs, max_hamming=4)
+
+
+def test_dedup_keep_representatives(spark, docs):
+    kept = text_dedup.dedup_keep_representatives(docs).toPandas()
+    # 0, 1, 4 collapse to one content; representatives are min ids
+    assert sorted(kept["doc_id"]) == [0, 2, 3]
+
+
+def test_neardup_clusters_connected_components(spark, docs):
+    out = (
+        text_dedup.neardup_clusters(docs, num_hashes=8, bands=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # docs 0/1/4 are one near-dup cluster (identical after collapse);
+    # doc 2 joins via shared bands or stands alone; doc 3 is a singleton
+    assert out.loc[0, "representative"] == 0
+    assert out.loc[1, "representative"] == 0
+    assert out.loc[4, "representative"] == 0
+    assert out.loc[3, "representative"] == 3
+    assert out.loc[3, "cluster_size"] == 1
+    assert out.loc[0, "cluster_size"] >= 3
+    assert len(out) == 5  # every doc present, singletons included

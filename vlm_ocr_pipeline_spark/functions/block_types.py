@@ -67,6 +67,25 @@ DETECTOR_TYPE_MAPS: dict[str, dict[str, str]] = {
         "isolate_formula": "interline_equation",
         "formula_caption": "image_caption",
     },
+    "mineru-vlm": {
+        "text": "text", "title": "title", "image": "image",
+        "image_body": "image_body", "image_caption": "image_caption",
+        "image_footnote": "image_footnote", "table": "table",
+        "table_body": "table_body", "table_caption": "table_caption",
+        "table_footnote": "table_footnote",
+        "interline_equation": "interline_equation",
+        "inline_equation": "inline_equation",
+        "code": "code", "code_body": "code_body",
+        "code_caption": "code_caption", "algorithm": "algorithm",
+        "list": "list", "header": "header", "footer": "footer",
+        "page_number": "page_number", "page_footnote": "page_footnote",
+        "ref_text": "ref_text", "phonetic": "phonetic",
+        "aside_text": "aside_text", "index": "index",
+        "discarded": "discarded",
+    },
+    "olmocr-vlm": {
+        "text": "text",
+    },
     "paddleocr-doclayout-v2": {
         "doc_title": "title", "paragraph_title": "title", "text": "text",
         "sidebar_text": "aside_text", "page_number": "page_number",

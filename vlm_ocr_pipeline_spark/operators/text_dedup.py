@@ -240,6 +240,97 @@ def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def dedup_keep_representatives(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """APPLY exact dedup: keep one row (min id) per distinct normalized
+    content — the filter step a training pipeline runs after
+    :func:`exact_dup_groups` identifies duplicates.  One shuffle on the
+    content hash."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    MinHash-LSH candidate-pair graph, as iterative min-label
+    propagation (each doc's cluster representative = the smallest doc
+    id reachable through near-dup edges).
+
+    Iteration count is O(cluster diameter) — near-dup clusters are
+    dense (every member pairs with the representative via shared
+    bands), so this converges in 2-3 rounds in practice; convergence is
+    detected exactly (no label changed), with ``max_iterations`` as a
+    backstop.  This is the distributed analog of the union-find pass a
+    single-node dedup pipeline runs over its pair list.
+
+    Output: (doc_id, representative, cluster_size) for EVERY document
+    (singletons are their own representative).
+    """
+    pairs = minhash_lsh_pairs(docs, num_hashes, bands, id_col, text_col).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("representative"),
+            "cluster_size",
+        )
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word unigrams as a BIGINT signature.
 
