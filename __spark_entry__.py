@@ -384,10 +384,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return op(_t(spark, sf, "documents"))
 
+    def train_test_split(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import deterministic_split
+
+        return deterministic_split(
+            _t(spark, sf, "documents"), test_fraction=0.1, salt="42"
+        )
+
+    def token_shards(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import pack_token_shards
+
+        return pack_token_shards(_t(spark, sf, "documents"), tokens_per_shard=5000)
+
+    def tfidf_top3(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import tfidf_top_terms
+
+        return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
     q["token_count"] = token_count
     q["quality_scores"] = quality_scores
     q["lang_id"] = lang_id
     q["fingerprints"] = fingerprints
+    q["train_test_split"] = train_test_split
+    q["token_shards"] = token_shards
+    q["tfidf_top3"] = tfidf_top3
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -750,6 +770,52 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    o["train_test_split"] = """
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8)) AS BIGINT)
+                         / 4294967296.0 < 0.1
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """
+    o["token_shards"] = f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum - n_tokens) / 5000.0) AS BIGINT) AS shard_id
+        FROM c
+    """
+    o["tfidf_top3"] = f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                     / CAST(dfq.df + 1 AS DOUBLE)) + 1), 6)
+                       AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+    """
     o["exact_dedup"] = f"""
         SELECT md5({collapse}) AS content_hash,
                min(doc_id) AS representative,

@@ -1,0 +1,70 @@
+"""Corpus-preparation operators: deterministic split, shard packing,
+tf-idf top terms."""
+
+import pytest
+
+from vlm_ocr_pipeline_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{j % 7}" for j in range(i % 40 + 5))) for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_split_is_deterministic_and_near_fraction(spark, docs):
+    a = corpus.deterministic_split(docs, 0.2).toPandas().set_index("doc_id")
+    b = corpus.deterministic_split(docs, 0.2).toPandas().set_index("doc_id")
+    assert a.sort_index().equals(b.sort_index())  # stable across runs
+    frac = (a["split"] == "test").mean()
+    assert 0.1 < frac < 0.3  # md5 buckets approximate the fraction
+    # changing the salt reshuffles assignments
+    c = corpus.deterministic_split(docs, 0.2, salt="other").toPandas()
+    assert not a.sort_index()["split"].equals(
+        c.set_index("doc_id").sort_index()["split"]
+    )
+
+
+def test_shard_packing_invariants(spark, docs):
+    out = (
+        corpus.pack_token_shards(docs, tokens_per_shard=100)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 200
+    # shard ids are non-decreasing in doc order and start at 0
+    assert out["shard_id"].iloc[0] == 0
+    assert (out["shard_id"].diff().dropna() >= 0).all()
+    # every shard's token total stays under budget + one max doc
+    totals = out.groupby("shard_id")["n_tokens"].sum()
+    assert (totals <= 100 + out["n_tokens"].max()).all()
+    # exclusive-prefix rule: global cumsum reproduces shard ids exactly
+    cum = out["n_tokens"].cumsum() - out["n_tokens"]
+    assert (out["shard_id"] == cum // 100).all()
+
+
+def test_shard_packing_partition_independent(spark, docs):
+    a = (
+        corpus.pack_token_shards(docs, 100, num_range_partitions=2)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        corpus.pack_token_shards(docs, 100, num_range_partitions=7)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    rows = [
+        (0, "common common common rare0 rare0 rare0 rare0"),
+        (1, "common unique1 unique1"),
+        (2, "common other2"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.tfidf_top_terms(d, k=2).toPandas()
+    top = out[out["rank"] == 1].set_index("doc_id")["term"]
+    assert top[0] == "rare0"     # frequent AND rare beats ubiquitous
+    assert top[1] == "unique1"
+    assert (out.groupby("doc_id").size() <= 2).all()

@@ -1,0 +1,134 @@
+"""Corpus-preparation operators for training-data pipelines: the steps
+that run AFTER extraction + dedup and BEFORE tokenizer/training jobs.
+
+All constructions are engine-portable (md5 buckets, integer hex casts,
+rounded doubles) so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..partitioning import spread_narrow
+
+
+def _hash_fraction(key: Column, salt: str) -> Column:
+    """Uniform [0, 1) fraction from md5(key || ':' || salt) — the
+    standard deterministic-split hash: stable across runs, machines and
+    engines (never rand(): resampling on retry leaks test docs into
+    train)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{salt}"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return bucket / F.lit(float(1 << 32))
+
+
+def deterministic_split(
+    docs: DataFrame,
+    test_fraction: float = 0.1,
+    salt: str = "42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible train/test assignment by content-independent id
+    hash.  Output: (doc_id, split) for every document."""
+    frac = _hash_fraction(F.col(id_col), salt)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(frac < test_fraction, "test").otherwise("train").alias("split"),
+    )
+
+
+def pack_token_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents (in id order) into shards of ~``tokens_per_shard``
+    whitespace tokens: shard_id = floor(exclusive_prefix_sum / budget).
+
+    Scale shape: a naive global window (Window.orderBy with no
+    partition) funnels the whole table through ONE task.  Instead the
+    classic two-phase prefix sum: range-partition by id, cumulative sum
+    WITHIN each partition, then add each partition's exclusive offset
+    (one bounded collect of P partial totals — P rows, never data).
+
+    Output: (doc_id, n_tokens, shard_id).
+    """
+    sess = docs.sparkSession
+    p = num_range_partitions or sess.sparkContext.defaultParallelism
+    tok = F.size(F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
+    base = (
+        spread_narrow(docs)
+        .select(F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens"))
+        .repartitionByRange(p, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    local = base.withColumn("_cum_local", F.sum("n_tokens").over(w)).cache()
+    # bounded driver collect: one total per partition (P rows)
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets = {}
+    running = 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    offset_col = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )[F.col("_pid")]
+    cum = F.col("_cum_local") + F.coalesce(offset_col, F.lit(0))
+    shard = F.floor((cum - F.col("n_tokens")) / F.lit(tokens_per_shard))
+    return local.select(
+        "doc_id", "n_tokens", shard.cast("long").alias("shard_id")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed tf-idf:
+    score = tf * (ln((N + 1) / (df + 1)) + 1), rounded to 6 decimals
+    for engine stability; rank ties break on the term.
+
+    One shuffle builds (doc, term, tf); df is an agg over it; N joins
+    in as a broadcast scalar.  Output: (doc_id, term, score, rank).
+    """
+    word = F.explode(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    ).alias("term")
+    tf = (
+        spread_narrow(docs)
+        .select(F.col(id_col).alias("doc_id"), word)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
