@@ -84,3 +84,30 @@ def test_windowed_rates_on_stream(spark):
         assert set(got["event_type"]) == {"click", "view"}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_dedup_extract_parses_distinct_payloads_once(spark):
+    """Stateful streaming dedup: duplicate payloads re-ingested in a
+    LATER micro-batch (and a later file batch across restarts) are
+    dropped by the checkpointed dropDuplicatesWithinWatermark state —
+    each distinct payload is extracted exactly once."""
+    from vlm_ocr_pipeline_spark.streaming.ingest import stream_dedup_extract
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        pages = datagen.synth_pages(spark, 30, partitions=2).cache()
+        pages.filter(F.xxhash64("url") % 2 == 0).write.mode("append").parquet(inp)
+        stream_dedup_extract(spark, inp, out, ckpt)
+        n1 = spark.read.parquet(out).count()
+
+        # second file batch: the other half PLUS a full re-ingestion of
+        # everything (duplicate payloads, same urls/timestamps)
+        pages.write.mode("append").parquet(inp)
+        stream_dedup_extract(spark, inp, out, ckpt)
+        got = spark.read.parquet(out)
+        assert n1 < 30
+        assert got.count() == 30            # dups dropped, nothing lost
+        assert got.select("url").distinct().count() == 30
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

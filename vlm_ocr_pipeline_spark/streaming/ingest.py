@@ -58,6 +58,42 @@ def stream_extract(
     return writer.trigger(processingTime="10 seconds").start()
 
 
+def stream_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming extraction that parses each DISTINCT payload once —
+    the streaming twin of ``extract_dedup_aware``.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-hash state only for the
+    watermark horizon, so state is bounded (a crawl re-fetching a page
+    weeks later re-extracts it — the desired recrawl semantics), unlike
+    an unbounded ``dropDuplicates`` whose state grows with the corpus.
+    Exactly-once across restarts via the checkpoint.
+    """
+    pages = read_pages_stream(spark, input_dir)
+    deduped = (
+        pages.withColumn("content_hash", F.md5("html"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("content_hash")
+    )
+    out = extract(deduped, run_id="stream-dedup")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_rates(
     events: DataFrame,
     window: str = "60 seconds",
