@@ -1022,7 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         buckets AS (
             SELECT vec_id,
-                   CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b)
+                   CAST(sum(CASE WHEN round(dot, 6) >= 0 THEN (1::BIGINT << b)
                             ELSE 0 END) AS INT) AS bucket
             FROM pdots GROUP BY vec_id
         )

@@ -158,3 +158,29 @@ def test_figure_crop_sink_roundtrip(spark, tmp_path):
             rf"images/page_0_block_{r.block_idx}_image\.png", r.image_path
         )
         assert r.description and r.description.startswith("chart of ")
+
+
+def test_figure_crop_alt_alignment_skips_suppressed_imgs(spark):
+    """An <img> inside a region the detector suppresses (noscript) must
+    not steal the byte span of the real captioned figure that follows
+    it — pairing aligns on normalized alt text."""
+    import pandas as pd
+
+    from vlm_ocr_pipeline_spark.operators.figures import figure_crop_batch
+
+    html = (
+        b"<body><noscript><img src='tracker.gif'></noscript>"
+        b"<p>real paragraph content long enough to stay here ok</p>"
+        b"<img src='figure.png' alt='chart of sales'></body>"
+    )
+    pdf = pd.DataFrame(
+        {"url": ["https://x/1"], "warc_ts": [pd.Timestamp("2025-01-01")],
+         "html": [html]}
+    )
+    out = figure_crop_batch(pdf)
+    figs = out[out["description"] == "chart of sales"]
+    assert len(figs) == 1
+    crop = bytes(figs.iloc[0]["crop"])
+    assert b"figure.png" in crop and b"tracker" not in crop
+    s, e = int(figs.iloc[0]["byte_start"]), int(figs.iloc[0]["byte_end"])
+    assert html[s:e] == crop

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..partitioning import spread_narrow
+from ..textnorm import words as _words
 
 
 def _hash_fraction(key: Column, salt: str) -> Column:
@@ -57,14 +58,19 @@ def pack_token_shards(
     WITHIN each partition, then add each partition's exclusive offset
     (one bounded collect of P partial totals — P rows, never data).
 
+    The intermediate is cached so the offset collect and the final
+    select see the SAME range partitioning; sessions packing many
+    tables should spark.catalog.clearCache() between calls.
+
     Output: (doc_id, n_tokens, shard_id).
     """
     sess = docs.sparkSession
     p = num_range_partitions or sess.sparkContext.defaultParallelism
-    tok = F.size(F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
+    tok = F.size(_words(F.col(text_col)))
+    # repartitionByRange is itself the spreading shuffle — no
+    # spread_narrow needed (it would just add a second shuffle)
     base = (
-        spread_narrow(docs)
-        .select(F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens"))
+        docs.select(F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens"))
         .repartitionByRange(p, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -103,9 +109,7 @@ def tfidf_top_terms(
     One shuffle builds (doc, term, tf); df is an agg over it; N joins
     in as a broadcast scalar.  Output: (doc_id, term, score, rank).
     """
-    word = F.explode(
-        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    ).alias("term")
+    word = F.explode(_words(F.col(text_col))).alias("term")
     tf = (
         spread_narrow(docs)
         .select(F.col(id_col).alias("doc_id"), word)

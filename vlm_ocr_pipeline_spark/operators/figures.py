@@ -26,10 +26,30 @@ from pyspark.sql import DataFrame
 from ..functions import html_extract
 from .stages import sniff_kind
 
-# byte-level img-tag matcher; image blocks are emitted by the DOM
-# detector in source order, so the j-th image block pairs with the
-# j-th match
+# byte-level img-tag matcher.  Image blocks are emitted by the DOM
+# detector in source order, but a blind j-th-block-to-j-th-match
+# pairing misattributes crops whenever an <img> occurs in a region the
+# detector suppresses (noscript/comments/script raw text): pairing
+# therefore aligns greedily on the NORMALIZED ALT TEXT — each block
+# takes the first remaining match whose alt equals its description,
+# falling back to the next unused match — so a suppressed alt-less
+# tracker pixel cannot steal a captioned figure's byte span.
 _IMG_RE = re.compile(rb"<img\b[^>]*>?", re.IGNORECASE)
+
+
+def _crop_alt(crop: bytes) -> str | None:
+    """Alt text of one img-tag crop, normalized exactly like the
+    detector's description field (html_extract._emit_img)."""
+    from html import unescape
+
+    s = crop.decode("utf-8", errors="replace")
+    m = html_extract._ALT_RE.search(s)
+    if not m:
+        return None
+    alt = m.group(2) or m.group(3) or m.group(4) or ""
+    if "&" in alt:
+        alt = unescape(alt)
+    return html_extract._WS.sub(" ", alt).strip() or None
 
 CROP_SCHEMA = (
     "url string, warc_ts timestamp, block_idx int, block_type string, "
@@ -61,10 +81,26 @@ def figure_crop_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             (i, b) for i, b in enumerate(blocks) if b.get("type") == "image"
         ]
         matches = list(_IMG_RE.finditer(payload))
-        for j, (bi, b) in enumerate(img_positions):
-            if j >= len(matches):
+        alts = [_crop_alt(payload[m.start() : m.end()]) for m in matches]
+        used = [False] * len(matches)
+        cursor = 0
+        for bi, b in img_positions:
+            desc = b.get("description")
+            pick = None
+            for j in range(cursor, len(matches)):
+                if not used[j] and alts[j] == desc:
+                    pick = j
+                    break
+            if pick is None:  # no alt match ahead: next unused in order
+                for j in range(cursor, len(matches)):
+                    if not used[j]:
+                        pick = j
+                        break
+            if pick is None:
                 break
-            m = matches[j]
+            used[pick] = True
+            cursor = pick + 1
+            m = matches[pick]
             rows.append(
                 {
                     "url": url,

@@ -78,13 +78,20 @@ def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
 
 def srp_bucket_udf(dim: int, bits: int = 8, seed: int = 7):
     """Vectorized sign-random-projection bucketing: one (batch x dim) @
-    (dim x bits) matmul per Arrow batch."""
+    (dim x bits) matmul per Arrow batch.
+
+    The dot is ROUNDED to 6 decimals before the sign test (here, in the
+    driver-side query bucket, and in the SQL oracle): raw-double sums
+    depend on addition order (BLAS matmul vs sequential SQL aggregate),
+    so an unrounded sign test would need the engines to agree to 1e-15
+    near zero — rounding relaxes that to 1e-6 (the repo-wide float
+    aggregate rule)."""
     planes = _hyperplanes(dim, bits, seed).T  # (dim, bits)
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (n, dim)
-        signs = (m.astype(np.float64) @ planes) >= 0  # (n, bits)
+        signs = np.round(m.astype(np.float64) @ planes, 6) >= 0  # (n, bits)
         weights = 1 << np.arange(bits)
         return pd.Series((signs @ weights).astype(np.int32))
 
@@ -96,6 +103,11 @@ def probe_buckets(qbucket: int, bits: int, hamming_probe: int = 0) -> list[int]:
     (multi-probe LSH: neighbors whose SRP signature differs in one
     near-zero hyperplane land one bit away — probing them removes the
     single-bucket recall cliff)."""
+    if hamming_probe > 2:
+        raise ValueError(
+            "probe_buckets enumerates Hamming distance <= 2 only; "
+            f"got hamming_probe={hamming_probe}"
+        )
     out = {qbucket}
     if hamming_probe >= 1:
         out.update(qbucket ^ (1 << j) for j in range(bits))
@@ -127,7 +139,7 @@ def lsh_bucketed_topk(
     """
     dim = len(query)
     planes = _hyperplanes(dim, bits, seed)
-    qbits = (planes @ np.asarray(query, dtype=np.float64)) >= 0
+    qbits = np.round(planes @ np.asarray(query, dtype=np.float64), 6) >= 0
     qbucket = int((qbits @ (1 << np.arange(bits))).item())
     probes = probe_buckets(qbucket, bits, hamming_probe)
     bucket = srp_bucket_udf(dim, bits, seed)

@@ -24,17 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# normalized word array of the text column — shared prefix of most ops
-def _words(text: Column) -> Column:
-    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
-
-
-from ..partitioning import spread_narrow as _spread  # noqa: E402  (shared helper)
-
-
-def normalize_text(text: Column) -> Column:
-    """Whitespace-collapsed, trimmed text (the dedup key normalizer)."""
-    return F.trim(F.regexp_replace(text, r"\s+", " "))
+from ..partitioning import spread_narrow as _spread  # noqa: E402
+from ..textnorm import (  # noqa: E402 — canonical tokenizer, shared with oracles
+    normalize_text,
+    shingle_array as _shingle_array,
+    words as _words,
+)
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -53,20 +48,12 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, all JVM-side:
     sequence + transform + slice (no Python in the hot path)."""
-    w = _words(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    # guard short documents: Spark's sequence(1, 0) is the DESCENDING
-    # [1, 0] (implicit step -1), which would feed slice() an index 0 and
-    # throw INVALID_PARAMETER_VALUE.START — where DuckDB's
-    # generate_series(1, 0) is simply empty.  Docs with < n words have
-    # no shingles on either engine.
-    sh = F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
     return (
         _spread(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -100,16 +87,13 @@ def ngram_jaccard_pairs(
     pair expansion happens JVM-side inside the same stage via nested
     array transforms.  A capped list holds <= cap ids, so no reducer
     ever sees more than cap^2 pair rows per shingle — the skew bound
-    the self-join lacked.
+    the self-join lacked.  ``lists`` is cached because two branches
+    (sizes, pairs) consume it; sessions running many dedups should
+    spark.catalog.clearCache() between tables.
     """
-    w = _words(F.col(text_col))
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    sh_arr = F.when(F.size(w) >= n, sh_arr).otherwise(F.array().cast("array<string>"))
     exploded = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(sh_arr).alias("shingle")
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
     )
     lists = exploded.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")

@@ -15,8 +15,22 @@ def spread_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     documents->pages wrap each ran as ONE task.  A no-op when the input
     is already wide (the 100 TB case, where inputs arrive in thousands
     of splits and this must NOT add a shuffle).
+
+    Plans containing an Exchange are left untouched WITHOUT consulting
+    .rdd: converting an adaptive (AQE) plan to an RDD materializes its
+    shuffle stages, which would silently execute the upstream job once
+    during operator CONSTRUCTION and again at the real action.  A
+    post-shuffle DataFrame is already at spark.sql.shuffle.partitions
+    parallelism, so spreading it is pointless anyway; .rdd is only
+    touched for exchange-free (pure scan) plans, where it is lazy.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    # sparkPlan is the non-adaptive physical plan: computing it never
+    # runs jobs, unlike .rdd on an AQE plan
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
