@@ -107,3 +107,84 @@ def test_minhash_shuffles_once_per_agg(spark):
     plan = _plan(minhash_signatures(docs, num_hashes=4))
     # shingle explode -> ONE exchange for the groupBy(doc_id)
     assert plan.count("Exchange") <= 2  # partial agg + final exchange
+
+
+def test_spread_narrow_is_noop_on_shuffled_plans(spark, lineitem):
+    """spread_narrow must not add an Exchange to (or force execution
+    of) a plan that already contains one — post-shuffle parallelism is
+    already spark.sql.shuffle.partitions."""
+    from vlm_ocr_pipeline_spark.partitioning import spread_narrow
+
+    shuffled = lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    out = spread_narrow(shuffled)
+    assert out is shuffled  # untouched, .rdd never consulted
+    # and on a narrow one-file scan it DOES widen
+    narrow = spark.read.parquet(f"{SF}/documents.parquet")
+    widened = spread_narrow(narrow, min_partitions=8)
+    assert "Repartition" in _optimized(widened)
+
+
+def test_ngram_posting_lists_no_cartesian_or_sort_merge_join(spark):
+    """The capped posting-list plan must contain no join at all on the
+    candidate path — pair expansion is an array transform, so a hot
+    shingle can never become a join-side blowup."""
+    from vlm_ocr_pipeline_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=64))
+    assert "CartesianProduct" not in plan
+    assert "flatten(transform" in plan  # JVM-side pair expansion
+
+
+def test_simhash64_is_integer_codegen_not_string_cases(spark):
+    """The BIGINT signature path: per-bit aggregation is shift/mask
+    sums (no per-agg md5 re-evaluation, no substring CASE chains) and
+    the near-dup Hamming is ONE bit_count(xor)."""
+    from vlm_ocr_pipeline_spark.operators.text_dedup import (
+        simhash64,
+        simhash64_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig_plan = _optimized(simhash64(docs))
+    assert sig_plan.count("md5(") <= 2  # projected once per half, not 64x
+    pair_plan = _optimized(simhash64_neardup_pairs(docs))
+    assert "bit_count" in pair_plan
+
+
+def test_tfidf_doc_count_joins_as_broadcast(spark):
+    from vlm_ocr_pipeline_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=2), execute=True)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_token_shards_has_no_global_single_partition_window(spark):
+    """The two-phase prefix sum must window WITHIN range partitions —
+    a Window with an empty partition spec funnels everything through
+    one task."""
+    from vlm_ocr_pipeline_spark.operators.corpus import pack_token_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pack_token_shards(docs, tokens_per_shard=1000, num_range_partitions=4)
+    plan = _optimized(df)
+    # windowspecdefinition(_pid ...) proves the cumulative sum is
+    # partitioned by the range-partition id, never a global (empty
+    # partition-spec) window; partition-count independence of the
+    # RESULT is asserted separately in test_corpus.py
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_pdf_font_markdown_prunes_to_payload_columns(spark):
+    import tempfile
+
+    from vlm_ocr_pipeline_spark.plans.pipeline import extract_pdf_font_markdown
+    from vlm_ocr_pipeline_spark.sources.datagen import synth_pages
+
+    path = tempfile.mkdtemp() + "/pages"
+    synth_pages(spark, 20, partitions=1).write.parquet(path)
+    df = extract_pdf_font_markdown(spark.read.parquet(path))
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "html" in read_schema and "text" not in read_schema

@@ -26,9 +26,10 @@ def spread_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     """
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
-    # sparkPlan is the non-adaptive physical plan: computing it never
-    # runs jobs, unlike .rdd on an AQE plan
-    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # executedPlan().toString() under AQE renders the INITIAL physical
+    # plan (exchanges included, post-EnsureRequirements) without
+    # running anything — unlike .rdd, which materializes shuffle stages
+    plan = df._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan:
         return df
     if df.rdd.getNumPartitions() < target:
