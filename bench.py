@@ -124,6 +124,7 @@ def main() -> None:
     for key, fname in (
         ("scaling", "SCALING.json"),                  # local-mode N vs 4N
         ("scaling_cluster", "SCALING_CLUSTER.json"),  # real executors N vs 4N
+        ("scaling_dedup", "SCALING_DEDUP.json"),      # shuffle-heavy op N vs 4N
     ):
         path = os.path.join(here, fname)
         if os.path.exists(path):
