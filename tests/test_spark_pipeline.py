@@ -184,3 +184,37 @@ def test_figure_crop_alt_alignment_skips_suppressed_imgs(spark):
     assert b"figure.png" in crop and b"tracker" not in crop
     s, e = int(figs.iloc[0]["byte_start"]), int(figs.iloc[0]["byte_end"])
     assert html[s:e] == crop
+
+
+def test_prepare_corpus_job_end_to_end(tmp_path):
+    """jobs/prepare_corpus.py: the composed extract -> quality -> dedup
+    -> split -> shard chain runs as a standalone driver and its report
+    invariants hold."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
+            "--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
+            "--synthesize", "300", "--tokens-per-shard", "5000",
+            "--test-fraction", "0.1",
+        ],
+        capture_output=True, text=True, timeout=420,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["pages_in"] == 300
+    assert (
+        report["pages_in"] >= report["after_quality_gate"]
+        >= report["after_exact_dedup"] >= report["after_neardup_dedup"]
+        == report["corpus_rows"] > 0
+    )
+    assert 0 < report["n_test"] < report["corpus_rows"]
+    assert report["n_shards"] >= 1
