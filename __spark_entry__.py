@@ -69,6 +69,16 @@ def _collapsed_text():
 _ORACLE_COLLAPSE = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _ORACLE_URL = "'https://docs.example.org/doc/' || doc_id"
 
+# messy url variants for the canonicalization query — identical SQL on
+# both engines (Spark F.expr and DuckDB both accept this CASE)
+_MESSY_URL_SQL = """CASE doc_id % 4
+    WHEN 0 THEN 'HTTPS://Docs.Example.org:443/doc/' || doc_id
+                || '/?utm_source=x&b=2&a=1'
+    WHEN 1 THEN 'https://docs.example.org/doc/' || doc_id || '?b=2&a=1&fbclid=zz'
+    WHEN 2 THEN 'http://DOCS.example.org:80/doc/' || doc_id || '#section'
+    ELSE 'https://docs.example.org/doc/' || doc_id || '/'
+END"""
+
 
 # ---------------------------------------------------------------------
 # queries
@@ -405,9 +415,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = quality_scores
     q["lang_id"] = lang_id
     q["fingerprints"] = fingerprints
+    def url_canonical(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.urls import canonicalize_urls
+
+        messy = _t(spark, sf, "documents").select(
+            "doc_id", F.expr(_MESSY_URL_SQL).alias("url")
+        )
+        return canonicalize_urls(messy).join(
+            messy.select("doc_id", "url"), "url"
+        ).select("doc_id", "url", "canonical_url")
+
     q["train_test_split"] = train_test_split
     q["token_shards"] = token_shards
     q["tfidf_top3"] = tfidf_top3
+    q["url_canonical"] = url_canonical
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -815,6 +836,42 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+    """
+    o["url_canonical"] = f"""
+        WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS h,
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS q
+            FROM messy
+        ),
+        norm AS (
+            SELECT doc_id, url, scheme,
+                   CASE WHEN scheme = 'http' AND ends_with(h, ':80')
+                            THEN substring(h, 1, length(h) - 3)
+                        WHEN scheme = 'https' AND ends_with(h, ':443')
+                            THEN substring(h, 1, length(h) - 4)
+                        ELSE h END AS host,
+                   CASE WHEN p = '' THEN '/'
+                        WHEN p <> '/' AND ends_with(p, '/')
+                            THEN substring(p, 1, length(p) - 1)
+                        ELSE p END AS path,
+                   list_filter(string_split(q, '&'),
+                       x -> NOT (starts_with(x, 'utm_')
+                                 OR starts_with(x, 'fbclid=')
+                                 OR starts_with(x, 'gclid=')
+                                 OR starts_with(x, 'ref=')
+                                 OR x = '')) AS params
+            FROM parts
+        )
+        SELECT doc_id, url,
+               scheme || '://' || host || path ||
+               CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(list_sort(params), '&')
+                    ELSE '' END AS canonical_url
+        FROM norm
     """
     o["exact_dedup"] = f"""
         SELECT md5({collapse}) AS content_hash,

@@ -68,3 +68,27 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     assert top[0] == "rare0"     # frequent AND rare beats ubiquitous
     assert top[1] == "unique1"
     assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_url_canonicalization(spark):
+    from vlm_ocr_pipeline_spark.operators import urls
+
+    rows = [
+        (0, "HTTPS://Docs.Example.org:443/doc/1/?utm_source=x&b=2&a=1"),
+        (1, "https://docs.example.org/doc/1?b=2&a=1&fbclid=zz"),
+        (2, "http://HOST.example.org:80/path#frag"),
+        (3, "https://host.example.org"),
+        (4, "https://host.example.org/a/b/"),
+        (5, "https://host.example.org/doc?ref=tw&gclid=1"),
+    ]
+    d = spark.createDataFrame(rows, ["i", "url"])
+    out = urls.canonicalize_urls(d).toPandas().set_index("url")["canonical_url"]
+    assert out[rows[0][1]] == "https://docs.example.org/doc/1?a=1&b=2"
+    assert out[rows[1][1]] == "https://docs.example.org/doc/1?a=1&b=2"
+    assert out[rows[2][1]] == "http://host.example.org/path"
+    assert out[rows[3][1]] == "https://host.example.org/"
+    assert out[rows[4][1]] == "https://host.example.org/a/b"
+    assert out[rows[5][1]] == "https://host.example.org/doc"
+    groups = urls.url_dup_groups(d).toPandas()
+    g = groups.set_index("canonical_url")
+    assert g.loc["https://docs.example.org/doc/1?a=1&b=2", "n_variants"] == 2
