@@ -86,7 +86,10 @@ def main() -> None:
             "ngram_jaccard",
             "simhash",
             "simhash64_neardup",
+            "neardup_clusters",
             "pdf_markdown_fonts",
+            "token_shards",
+            "tfidf_top3",
             "cosine_topk",
             "lsh_topk",
             "embedding_neardup",
