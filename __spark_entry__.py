@@ -425,10 +425,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             messy.select("doc_id", "url"), "url"
         ).select("doc_id", "url", "canonical_url")
 
+    def doc_chunks(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import chunk_documents
+
+        return chunk_documents(
+            _t(spark, sf, "documents"), chunk_tokens=40, overlap=8
+        )
+
+    def pii_scrub(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import scrub_pii
+
+        planted = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact admin"),
+                F.col("doc_id").cast("string"),
+                F.lit("@corp-example.com or +1 (555) 010-"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return scrub_pii(planted)
+
     q["train_test_split"] = train_test_split
     q["token_shards"] = token_shards
     q["tfidf_top3"] = tfidf_top3
     q["url_canonical"] = url_canonical
+    q["doc_chunks"] = doc_chunks
+    q["pii_scrub"] = pii_scrub
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -836,6 +860,48 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+    """
+    # chunking: DuckDB list slices w[a:b] are INCLUSIVE, so
+    # w[s : s+39] == Spark slice(w, s, 40); both engines clamp
+    # out-of-range slices
+    o["doc_chunks"] = f"""
+        WITH words AS (
+            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+        ),
+        n AS (
+            SELECT doc_id, w,
+                   greatest(1, CAST(ceil((len(w) - 8) / 32.0) AS INT)) AS nc
+            FROM words
+        )
+        SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+               array_to_string(w[(t.i * 32 + 1):(t.i * 32 + 40)], ' ')
+                   AS chunk_text,
+               CAST(len(w[(t.i * 32 + 1):(t.i * 32 + 40)]) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM n, LATERAL unnest(generate_series(0, nc - 1)) AS t(i)
+    """
+    from vlm_ocr_pipeline_spark.operators.corpus import EMAIL_RE, PHONE_RE
+
+    o["pii_scrub"] = f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' contact admin' || doc_id
+                        || '@corp-example.com or +1 (555) 010-' || doc_id AS t
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+                       AS n_emails,
+                   regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+            FROM planted
+        )
+        SELECT doc_id,
+               regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+               n_emails,
+               CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones
+        FROM s1
     """
     o["url_canonical"] = f"""
         WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),

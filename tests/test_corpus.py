@@ -92,3 +92,40 @@ def test_url_canonicalization(spark):
     groups = urls.url_dup_groups(d).toPandas()
     g = groups.set_index("canonical_url")
     assert g.loc["https://docs.example.org/doc/1?a=1&b=2", "n_variants"] == 2
+
+
+def test_chunking_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    d = spark.createDataFrame([(0, text), (1, "a b c")], ["doc_id", "text"])
+    out = (
+        corpus.chunk_documents(d, chunk_tokens=40, overlap=8)
+        .toPandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    c0 = out[out.doc_id == 0]
+    assert list(c0["chunk_idx"]) == [0, 1, 2]  # ceil((100-8)/32) = 3
+    toks = [r.split(" ") for r in c0["chunk_text"]]
+    assert [len(t) for t in toks] == [40, 40, 36]
+    assert toks[0][-8:] == toks[1][:8]  # consecutive windows share overlap
+    assert toks[1][-8:] == toks[2][:8]
+    # short doc: one chunk, whole text
+    c1 = out[out.doc_id == 1]
+    assert list(c1["chunk_text"]) == ["a b c"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.chunk_documents(d, chunk_tokens=8, overlap=8)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "reach me at jane.doe+x@sub.example-corp.io or +44 (020) 7946-0958 ok"),
+        (1, "no pii here at all"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.scrub_pii(d).toPandas().set_index("doc_id")
+    assert "<EMAIL>" in out.loc[0, "scrubbed"]
+    assert "<PHONE>" in out.loc[0, "scrubbed"]
+    assert "jane" not in out.loc[0, "scrubbed"] and "7946" not in out.loc[0, "scrubbed"]
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 1
+    assert out.loc[1, "scrubbed"] == "no pii here at all"
+    assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_phones"] == 0

@@ -96,6 +96,75 @@ def pack_token_shards(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking for context-length packing: each doc
+    splits into windows of ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens shared between consecutive windows (the standard
+    pretraining-sample chunker).
+
+    Fully JVM-side: token array -> sequence of window starts ->
+    per-window slice + join, exploded with the chunk index.  Output:
+    (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = _words(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(w) - overlap) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(w, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(w, i * stride + 1, chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        spread_narrow(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+    )
+
+
+# conservative, RE2-compatible patterns (the DuckDB oracle mirrors them
+# verbatim, so stay inside the Java-regex / RE2 common subset)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[ \-.]?\([0-9]{2,4}\)[ \-.]?[0-9]{2,4}[\-.][0-9]{2,6}"
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and parenthesized phone numbers to <EMAIL>/<PHONE>
+    sentinels, with per-doc match counts (the audit columns a removal
+    pipeline reports).  Output: (doc_id, scrubbed, n_emails, n_phones).
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE)).cast("long")
+    scrub1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(scrub1, F.lit(PHONE_RE)).cast("long")
+    scrub2 = F.regexp_replace(scrub1, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        scrub2.alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,
