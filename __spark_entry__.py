@@ -450,9 +450,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["train_test_split"] = train_test_split
     q["token_shards"] = token_shards
     q["tfidf_top3"] = tfidf_top3
+    def vocab_stats(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import vocab_stats as op
+
+        return op(_t(spark, sf, "documents"))
+
+    def lang_composition(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.corpus import language_composition
+
+        return language_composition(_t(spark, sf, "documents"))
+
     q["url_canonical"] = url_canonical
     q["doc_chunks"] = doc_chunks
     q["pii_scrub"] = pii_scrub
+    q["vocab_stats"] = vocab_stats
+    q["lang_composition"] = lang_composition
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -815,6 +827,30 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    o["vocab_stats"] = f"""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS term
+            FROM documents
+        )
+        SELECT count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_tokens,
+               count(DISTINCT term) AS n_distinct_terms,
+               count(DISTINCT term) / CAST(count(*) AS DOUBLE)
+                   AS type_token_ratio
+        FROM terms
+    """
+    o["lang_composition"] = f"""
+        WITH p AS (
+            SELECT doc_id, ' ' || {collapse} || ' ' AS p,
+                   CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        s AS (SELECT doc_id, n_tokens, {inner} FROM p),
+        l AS (SELECT doc_id, n_tokens, {best} AS predicted_lang FROM s)
+        SELECT predicted_lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM l GROUP BY predicted_lang
+    """
     o["train_test_split"] = """
         SELECT doc_id,
                CASE WHEN CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8)) AS BIGINT)

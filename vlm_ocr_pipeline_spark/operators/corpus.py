@@ -165,6 +165,45 @@ def scrub_pii(
     )
 
 
+def vocab_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary report: doc count, total/distinct token counts
+    and the type-token ratio (an integer-exact single division)."""
+    word = F.explode(_words(F.col(text_col))).alias("term")
+    terms = spread_narrow(docs).select(F.col(id_col).alias("doc_id"), word)
+    return terms.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("term").alias("n_distinct_terms"),
+        (F.count_distinct("term") / F.count("*")).alias("type_token_ratio"),
+    )
+
+
+def language_composition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-language corpus composition (docs + token mass per predicted
+    language) — the report a multilingual pipeline checks before
+    sampling ratios are chosen."""
+    from .textstats import lang_id
+
+    langs = lang_id(docs.select(F.col(id_col), F.col(text_col))).select(
+        id_col, "predicted_lang"
+    )
+    toks = docs.select(
+        F.col(id_col), F.size(_words(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return (
+        toks.join(langs, id_col)
+        .groupBy("predicted_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,
