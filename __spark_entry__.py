@@ -416,14 +416,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lang_id
     q["fingerprints"] = fingerprints
     def url_canonical(spark, sf):
-        from vlm_ocr_pipeline_spark.operators.urls import canonicalize_urls
+        from vlm_ocr_pipeline_spark.operators.urls import canonical_url
 
         messy = _t(spark, sf, "documents").select(
             "doc_id", F.expr(_MESSY_URL_SQL).alias("url")
         )
-        return canonicalize_urls(messy).join(
-            messy.select("doc_id", "url"), "url"
-        ).select("doc_id", "url", "canonical_url")
+        return messy.select(
+            "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
+        )
 
     def doc_chunks(spark, sf):
         from vlm_ocr_pipeline_spark.operators.corpus import chunk_documents
@@ -969,10 +969,12 @@ def oracle_sql() -> dict[str, str]:
             FROM parts
         )
         SELECT doc_id, url,
-               scheme || '://' || host || path ||
-               CASE WHEN len(params) > 0
-                    THEN '?' || array_to_string(list_sort(params), '&')
-                    ELSE '' END AS canonical_url
+               CASE WHEN scheme = '' THEN url
+                    ELSE scheme || '://' || host || path ||
+                         CASE WHEN len(params) > 0
+                              THEN '?' || array_to_string(list_sort(params), '&')
+                              ELSE '' END
+               END AS canonical_url
         FROM norm
     """
     o["exact_dedup"] = f"""

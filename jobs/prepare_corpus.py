@@ -77,13 +77,22 @@ def main() -> None:
     pages = spark.read.parquet(args.input)
     report["pages_in"] = pages.count()
 
-    # 1. extraction (plaintext is the training text)
+    # 1. extraction (plaintext is the training text).  doc_id keys on
+    # the FULL (url, warc_ts) identity — recrawls of one url are
+    # distinct docs (the checkpoint-key semantics), and a url-only hash
+    # would collide them into multiplicative self-joins downstream.
+    # Cache BEFORE deriving the gate tables: keep_ids and langs both
+    # branch off docs, and an uncached plan would re-run the mapInPandas
+    # extraction once per branch.
     docs = (
         extract(pages, renderer="plaintext")
         .filter(F.col("status") == "complete")
-        .select("url", F.col("rendered").alias("text"))
-        .withColumn("doc_id", F.xxhash64("url"))
-    )
+        .select(
+            "url",
+            F.xxhash64("url", "warc_ts").alias("doc_id"),
+            F.col("rendered").alias("text"),
+        )
+    ).cache()
 
     # 2. quality + language gates
     q = quality_scores(docs.select("doc_id", "text"))

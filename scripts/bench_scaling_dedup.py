@@ -3,8 +3,9 @@ complement): the extraction stage is embarrassingly parallel, so its
 0.94 says little about shuffle scaling.  This harness runs MinHash-LSH
 candidate-pair dedup (explode -> groupBy doc -> band explode -> bucket
 join -> pair agg: three shuffles) over the same synthetic corpus at
-local[4] vs local[16] in fresh subprocesses, best-of-2, and writes
-SCALING_DEDUP.json (embedded into bench.py's JSON line).
+local[4] vs local[16] in fresh subprocesses, best-of-N per level
+(SCALING_DEDUP_TRIALS, default 3), and writes SCALING_DEDUP.json
+(embedded into bench.py's JSON line).
 """
 
 from __future__ import annotations
@@ -81,8 +82,13 @@ def _run(cpus: int, path: str, trials: int = 2) -> float:
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=1800,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        secs = json.loads(line)["secs"]
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"worker local[{cpus}] failed (rc={out.returncode}); "
+                f"stderr tail:\n{out.stderr[-2000:]}"
+            )
+        secs = json.loads(lines[-1])["secs"]
         best = secs if best is None else min(best, secs)
     return best
 
@@ -95,13 +101,19 @@ def main() -> None:
         return
     from vlm_ocr_pipeline_spark.plans.session import get_spark
 
-    path = tempfile.mkdtemp(prefix="dedup_scaling_") + "/docs"
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="dedup_scaling_")
+    path = base + "/docs"
     spark = get_spark(app="dedup-scaling-gen", master="local[32]")
     _gen(spark, path, N_DOCS)
     spark.stop()
     trials = int(os.environ.get("SCALING_DEDUP_TRIALS", "3"))
-    t4 = _run(4, path, trials)
-    t16 = _run(16, path, trials)
+    try:
+        t4 = _run(4, path, trials)
+        t16 = _run(16, path, trials)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     eff = (t4 / t16) / 4
     result = {
         "op": "minhash_lsh_pairs",

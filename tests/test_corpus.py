@@ -129,3 +129,27 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 1
     assert out.loc[1, "scrubbed"] == "no pii here at all"
     assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_phones"] == 0
+
+
+def test_url_canonicalization_schemeless_passthrough(spark):
+    """Schemeless/malformed urls pass through unchanged — never
+    collapse to one ':///' dedup group."""
+    from vlm_ocr_pipeline_spark.operators import urls
+
+    rows = [(0, "www.a.com/x"), (1, "example.org/y"), (2, "not a url")]
+    d = spark.createDataFrame(rows, ["i", "url"])
+    out = urls.canonicalize_urls(d).toPandas()
+    assert (out["canonical_url"] == out["url"]).all()
+    assert urls.url_dup_groups(d).count() == 3  # three distinct groups
+
+
+def test_language_composition_custom_id_col(spark):
+    d = spark.createDataFrame(
+        [("u1", "the cat and the dog of it"), ("u2", "der Hund und die Katze und")],
+        ["url", "body"],
+    )
+    out = (
+        corpus.language_composition(d, id_col="url", text_col="body")
+        .toPandas().set_index("predicted_lang")
+    )
+    assert out.loc["en", "n_docs"] == 1 and out.loc["de", "n_docs"] == 1

@@ -188,14 +188,17 @@ def language_composition(
     sampling ratios are chosen."""
     from .textstats import lang_id
 
-    langs = lang_id(docs.select(F.col(id_col), F.col(text_col))).select(
-        id_col, "predicted_lang"
+    # lang_id normalizes its id column to 'doc_id' — rename up front so
+    # a non-default id_col joins correctly
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    toks = docs.select(
-        F.col(id_col), F.size(_words(F.col(text_col))).cast("long").alias("n_tokens")
+    langs = lang_id(src).select("doc_id", "predicted_lang")
+    toks = src.select(
+        "doc_id", F.size(_words(F.col("text"))).cast("long").alias("n_tokens")
     )
     return (
-        toks.join(langs, id_col)
+        toks.join(langs, "doc_id")
         .groupBy("predicted_lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -24,7 +24,11 @@ def _is_tracking(p: Column) -> Column:
 def canonical_url(url: Column) -> Column:
     """Canonical form: lowercase scheme+host, default port stripped,
     empty path -> '/', non-root trailing slash stripped, tracking
-    params dropped, surviving params SORTED, fragment dropped."""
+    params dropped, surviving params SORTED, fragment dropped.
+
+    URLs without a ``scheme://`` prefix pass through UNCHANGED — the
+    alternative (every schemeless string collapsing to ':///') would
+    merge unrelated malformed rows into one dedup group."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
     # strip default ports (:80 http, :443 https)
     host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
@@ -48,7 +52,9 @@ def canonical_url(url: Column) -> Column:
     qs = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", F.sort_array(params)))
     ).otherwise("")
-    return F.concat(scheme, F.lit("://"), host, path, qs)
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qs)
+    )
 
 
 def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:

@@ -24,13 +24,20 @@ def spread_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     parallelism, so spreading it is pointless anyway; .rdd is only
     touched for exchange-free (pure scan) plans, where it is lazy.
     """
+    import re
+
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
     # executedPlan().toString() under AQE renders the INITIAL physical
     # plan (exchanges included, post-EnsureRequirements) without
-    # running anything — unlike .rdd, which materializes shuffle stages
+    # running anything — unlike .rdd, which materializes shuffle stages.
+    # Word-boundary match: a SHUFFLE exchange means the plan is already
+    # at shuffle.partitions parallelism, but a BroadcastExchange does
+    # NOT widen the probe side — a narrow scan broadcast-joined to a
+    # tiny dim must still be spread (\bExchange\b skips the substring
+    # inside 'BroadcastExchange').
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if re.search(r"\bExchange\b", plan):
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
