@@ -188,3 +188,35 @@ def test_pdf_font_markdown_prunes_to_payload_columns(spark):
     plan = _plan(df)
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "html" in read_schema and "text" not in read_schema
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path, lineitem):
+    """The co-located join pattern for repeated big-big joins at scale:
+    two tables bucketed on the join key by the SAME bucket count join
+    with ZERO Exchange on either side (SortMergeJoin reads buckets
+    directly)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", str(tmp_path / "b_orders"))
+        .saveAsTable("b_orders"))
+    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", str(tmp_path / "b_lineitem"))
+        .saveAsTable("b_lineitem"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-big join shape (sf0.001 tables would broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("b_orders")
+        li = spark.table("b_lineitem")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = _plan(joined, execute=True)
+        assert "SortMergeJoin" in plan
+        import re
+
+        assert not re.search(r"\bExchange\b", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
