@@ -153,3 +153,43 @@ def test_language_composition_custom_id_col(spark):
         .toPandas().set_index("predicted_lang")
     )
     assert out.loc["en", "n_docs"] == 1 and out.loc["de", "n_docs"] == 1
+
+
+def test_chunk_reconstruction_property(spark):
+    """For ANY doc length: chunk 0 plus every later chunk minus its
+    overlap prefix reconstructs the token stream exactly (windows are
+    contiguous with stride = chunk - overlap)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, " ".join(f"x{int(rng.integers(0, 9))}"
+                     for _ in range(int(rng.integers(1, 200)))))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        corpus.chunk_documents(d, chunk_tokens=32, overlap=8)
+        .toPandas().sort_values(["doc_id", "chunk_idx"])
+    )
+    texts = dict(rows)
+    for doc_id, grp in out.groupby("doc_id"):
+        toks: list[str] = []
+        for j, t in enumerate(grp["chunk_text"]):
+            tt = t.split(" ")
+            toks.extend(tt if j == 0 else tt[8:])
+        assert " ".join(toks) == texts[doc_id], doc_id
+
+
+def test_shard_packing_conserves_every_doc_once(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (i, " ".join("w" for _ in range(int(rng.integers(1, 120)))))
+        for i in range(150)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.pack_token_shards(d, tokens_per_shard=300).toPandas()
+    assert sorted(out["doc_id"]) == list(range(150))       # once each
+    assert out["n_tokens"].sum() == sum(len(t.split()) for _, t in rows)
