@@ -463,8 +463,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_canonical"] = url_canonical
     q["doc_chunks"] = doc_chunks
     q["pii_scrub"] = pii_scrub
+    def asof_last_error(spark, sf):
+        """For each click event: the most recent error event of the
+        same user at or before it (the as-of join Spark lacks)."""
+        from vlm_ocr_pipeline_spark.operators.asof import asof_join
+
+        e = _t(spark, sf, "events")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        # contract: right side unique per (key, time) — dedupe ties
+        # deterministically by max event_id
+        errors = (
+            e.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("event_id"))
+        )
+        out = asof_join(
+            clicks, errors, on="user_id", left_time="ts", right_time="ts",
+            value_cols=["event_id", "ts"], prefix="err_",
+        )
+        return out.select(
+            "user_id", "event_id", "ts",
+            F.col("err_event_id").alias("err_event_id"),
+            F.col("err_ts").alias("err_ts"),
+        )
+
     q["vocab_stats"] = vocab_stats
     q["lang_composition"] = lang_composition
+    q["asof_last_error"] = asof_last_error
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -850,6 +877,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT predicted_lang, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         FROM l GROUP BY predicted_lang
+    """
+    # DuckDB has a NATIVE ASOF JOIN — the ideal oracle for the
+    # union+window implementation
+    o["asof_last_error"] = """
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ),
+        errors AS (
+            SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+        )
+        SELECT c.user_id, c.event_id, c.ts,
+               e.event_id AS err_event_id, e.ts AS err_ts
+        FROM clicks c
+        ASOF LEFT JOIN errors e
+            ON c.user_id = e.user_id AND c.ts >= e.ts
     """
     o["train_test_split"] = """
         SELECT doc_id,

@@ -193,3 +193,28 @@ def test_shard_packing_conserves_every_doc_once(spark):
     out = corpus.pack_token_shards(d, tokens_per_shard=300).toPandas()
     assert sorted(out["doc_id"]) == list(range(150))       # once each
     assert out["n_tokens"].sum() == sum(len(t.split()) for _, t in rows)
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at-or-before matching, null when nothing precedes,
+    per-key isolation."""
+    import datetime as dt
+
+    from vlm_ocr_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, T(10)), (1, 101, T(5)), (1, 102, T(1)), (2, 200, T(10))],
+        ["k", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 900, T(5)), (1, 901, T(8))], ["k", "rid", "ts"]
+    )
+    out = asof_join(
+        left, right, on="k", left_time="ts", right_time="ts",
+        value_cols=["rid"], prefix="m_",
+    ).toPandas().set_index("lid")
+    assert out.loc[100, "m_rid"] == 901       # latest at-or-before t=10
+    assert out.loc[101, "m_rid"] == 900       # equal time matches (>=)
+    assert out.loc[102, "m_rid"] is None or out.loc[102].isna()["m_rid"]
+    assert out.loc[200].isna()["m_rid"]       # other key: no right rows

@@ -1,0 +1,64 @@
+"""As-of (most-recent-at-or-before) join — an operator Spark's built-in
+join set lacks, composed from union + window instead of a Python path:
+
+    for each left row, attach the right row with the greatest
+    right_time <= left_time within the same key.
+
+Plan shape: tag both sides, unionByName, ONE window over (key) ordered
+by (time, side) carrying last(right_payload, ignorenulls) forward, then
+keep the left rows.  A sort-based window over the union is the
+canonical distributed as-of: one shuffle on the key, no range
+explosion, no per-row Python.  (DuckDB has ASOF JOIN natively, which is
+what the oracle uses.)
+
+Contract: the right side must be unique per (key, time) — pre-aggregate
+ties first (the matching row at equal timestamps would otherwise be
+engine-dependent).  Rows with equal left/right time DO match
+(inclusive, the standard >= semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join.  Output: every left row + ``prefix``-prefixed
+    ``value_cols`` from the matched right row (null when no right row
+    at or before the left time)."""
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rt.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    rt = rt.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
+    u = lt.unionByName(rt)
+    # right (side 0) sorts before left (side 1) at equal time ->
+    # inclusive >= match semantics
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in value_cols]
+    return out.select(*cols)
