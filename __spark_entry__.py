@@ -489,9 +489,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("err_ts").alias("err_ts"),
         )
 
+    def range_join_windows(spark, sf):
+        """Events inside each user's first/last-6-hour activity windows
+        (point-in-interval join via time bucketing)."""
+        from vlm_ocr_pipeline_spark.operators.asof import range_join
+
+        e = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+        spans = e.groupBy("user_id").agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        )
+        first_w = spans.select(
+            "user_id",
+            F.lit(0).alias("window_id"),
+            F.col("mn").alias("w_start"),
+            F.expr("mn + INTERVAL 6 HOURS").alias("w_end"),
+        )
+        last_w = spans.select(
+            "user_id",
+            F.lit(1).alias("window_id"),
+            F.expr("mx - INTERVAL 6 HOURS").alias("w_start"),
+            F.col("mx").alias("w_end"),
+        )
+        iv = first_w.unionByName(last_w)
+        out = range_join(
+            e, iv, on="user_id", time_col="ts",
+            start_col="w_start", end_col="w_end",
+        )
+        return out.select(
+            "user_id", "event_id", "ts",
+            F.col("window_id").cast("long").alias("window_id"),
+            "w_start", "w_end",
+        )
+
     q["vocab_stats"] = vocab_stats
     q["lang_composition"] = lang_composition
     q["asof_last_error"] = asof_last_error
+    q["range_join_windows"] = range_join_windows
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -893,6 +926,24 @@ def oracle_sql() -> dict[str, str]:
         FROM clicks c
         ASOF LEFT JOIN errors e
             ON c.user_id = e.user_id AND c.ts >= e.ts
+    """
+    o["range_join_windows"] = """
+        WITH spans AS (
+            SELECT user_id, min(ts) AS mn, max(ts) AS mx
+            FROM events GROUP BY user_id
+        ),
+        iv AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS window_id,
+                   mn AS w_start, mn + INTERVAL 6 HOUR AS w_end FROM spans
+            UNION ALL
+            SELECT user_id, CAST(1 AS BIGINT),
+                   mx - INTERVAL 6 HOUR, mx FROM spans
+        )
+        SELECT e.user_id, e.event_id, e.ts,
+               iv.window_id, iv.w_start, iv.w_end
+        FROM events e
+        JOIN iv ON e.user_id = iv.user_id
+               AND e.ts >= iv.w_start AND e.ts <= iv.w_end
     """
     o["train_test_split"] = """
         SELECT doc_id,

@@ -218,3 +218,36 @@ def test_asof_join_semantics(spark):
     assert out.loc[101, "m_rid"] == 900       # equal time matches (>=)
     assert out.loc[102, "m_rid"] is None or out.loc[102].isna()["m_rid"]
     assert out.loc[200].isna()["m_rid"]       # other key: no right rows
+
+
+def test_range_join_equals_naive_between(spark):
+    """The bucketized plan must produce exactly the naive
+    BETWEEN-join's pairs (each point matches once per covering
+    interval, whatever the bucket width)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from vlm_ocr_pipeline_spark.operators.asof import range_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(1, i, T(i * 7 % 60)) for i in range(20)] + [(2, 99, T(30))],
+        ["k", "pid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, T(5), T(25)), (1, 1, T(20), T(59)), (2, 0, T(40), T(50))],
+        ["k", "iid", "s", "e"],
+    )
+    for width in (60, 600, 3600):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(pts, iv, "k", "ts", "s", "e", width).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in pts.join(
+                iv, (pts.k == iv.k) & (pts.ts >= iv.s) & (pts.ts <= iv.e)
+            ).collect()
+        }
+        assert got == naive and len(got) > 0, width

@@ -62,3 +62,48 @@ def asof_join(
     cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in value_cols]
     return out.select(*cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (inclusive bounds) without the
+    nested-loop trap.
+
+    A naive ``ts BETWEEN start AND end`` join on a low-cardinality key
+    degenerates into a per-key cartesian.  The scale path bucketizes
+    time: each point carries its bucket, each interval EXPLODES over
+    the buckets it covers, the join becomes an equi-join on
+    (key, bucket) and the exact range predicate refines it.  A point's
+    single bucket appears at most once per covering interval, so no
+    dedup pass is needed.  Shuffle key (key, bucket) also spreads a hot
+    key across reducers in proportion to its time span.
+
+    Output: matching (point columns + interval columns) pairs.
+    """
+    w = int(bucket_seconds)
+    pb = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(time_col)) / w)
+    )
+    ib = (
+        intervals.withColumn(
+            "_bs", F.floor(F.unix_timestamp(F.col(start_col)) / w)
+        )
+        .withColumn("_be", F.floor(F.unix_timestamp(F.col(end_col)) / w))
+        .withColumn("_b", F.explode(F.sequence(F.col("_bs"), F.col("_be"))))
+        .drop("_bs", "_be")
+    )
+    return (
+        pb.join(ib, [on, "_b"])
+        .filter(
+            (F.col(time_col) >= F.col(start_col))
+            & (F.col(time_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )
