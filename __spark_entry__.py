@@ -523,8 +523,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_stats"] = vocab_stats
     q["lang_composition"] = lang_composition
+    def hypertable_rollup(spark, sf):
+        from vlm_ocr_pipeline_spark.operators.rollup_time import (
+            hypertable_rollup as op,
+        )
+
+        return op(_t(spark, sf, "events"))
+
     q["asof_last_error"] = asof_last_error
     q["range_join_windows"] = range_join_windows
+    q["hypertable_rollup"] = hypertable_rollup
 
     # ============ deduplication =======================================
     def exact_dedup(spark, sf):
@@ -945,6 +953,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN iv ON e.user_id = iv.user_id
                AND e.ts >= iv.w_start AND e.ts <= iv.w_end
     """
+    _res_bucket = {
+        "1 minute": "INTERVAL '1 minute'",
+        "1 hour": "INTERVAL '1 hour'",
+        "1 day": "INTERVAL '1 day'",
+    }
+    _rollup_parts = " UNION ALL ".join(
+        f"""SELECT '{res}' AS resolution,
+                   time_bucket({iv}, ts) AS bucket_start,
+                   event_type AS key, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS total_value
+            FROM events GROUP BY 1, 2, 3"""
+        for res, iv in _res_bucket.items()
+    )
+    o["hypertable_rollup"] = _rollup_parts
     o["train_test_split"] = """
         SELECT doc_id,
                CASE WHEN CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8)) AS BIGINT)

@@ -251,3 +251,31 @@ def test_range_join_equals_naive_between(spark):
             ).collect()
         }
         assert got == naive and len(got) > 0, width
+
+
+def test_hypertable_rollup_derivation_consistency(spark):
+    """The coarse rollup DERIVED from the fine one (sums of sums) must
+    equal the coarse rollup computed from raw events — the
+    continuous-aggregate refresh invariant."""
+    import pyspark.sql.functions as F
+
+    from vlm_ocr_pipeline_spark.operators.rollup_time import (
+        derive_coarser,
+        hypertable_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    full = hypertable_rollup(events).cache()
+    direct = (
+        full.filter(F.col("resolution") == "1 hour")
+        .orderBy("bucket_start", "key").toPandas().reset_index(drop=True)
+    )
+    derived = (
+        derive_coarser(full, "1 minute", "1 hour")
+        .select("resolution", "bucket_start", "key", "n_events", "total_value")
+        .orderBy("bucket_start", "key").toPandas().reset_index(drop=True)
+    )
+    assert direct.equals(derived)
+    # every resolution conserves the event count
+    totals = full.groupBy("resolution").agg(F.sum("n_events").alias("n")).toPandas()
+    assert (totals["n"] == events.count()).all()
