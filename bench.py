@@ -93,6 +93,9 @@ def main() -> None:
             "cosine_topk",
             "lsh_topk",
             "embedding_neardup",
+            "asof_last_error",
+            "range_join_windows",
+            "hypertable_rollup",
         ]
         # best-of-2 per query: the first execution of a distinct plan
         # shape pays whole-stage-codegen compilation + JIT (measured
