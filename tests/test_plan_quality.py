@@ -220,3 +220,43 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path, lineitem):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_is_one_window_no_range_join(spark):
+    """The as-of plan: union + ONE keyed window — never a broadcast
+    nested loop or cartesian range join."""
+    import datetime as dt
+
+    from vlm_ocr_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], ["k", "lid", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 9, dt.datetime(2024, 1, 1))], ["k", "rid", "ts"]
+    )
+    plan = _plan(asof_join(left, right, "k", "ts", "ts", ["rid"]))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join_on_bucket(spark):
+    """The bucketized range join must plan as a hash/sort-merge
+    EQUI-join (key, bucket) — not the nested-loop a raw BETWEEN
+    condition produces."""
+    import datetime as dt
+
+    from vlm_ocr_pipeline_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], ["k", "pid", "ts"]
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        ["k", "iid", "s", "e"],
+    )
+    plan = _plan(range_join(pts, iv, "k", "ts", "s", "e"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
