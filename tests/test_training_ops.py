@@ -259,3 +259,93 @@ def test_neardup_clusters_connected_components(spark, docs):
     assert out.loc[3, "cluster_size"] == 1
     assert out.loc[0, "cluster_size"] >= 3
     assert len(out) == 5  # every doc present, singletons included
+
+
+@pytest.fixture(scope="module")
+def chain_docs(spark):
+    """Sliding-window texts: adjacent docs share 18 of 20 words (LSH
+    near-dup edge), docs >= 5 apart share nothing — an adversarial
+    near-dup CHAIN, the worst topology for label propagation."""
+    words = [f"w{i:03d}" for i in range(40)]
+    rows = [(i, " ".join(words[2 * i : 2 * i + 20])) for i in range(8)]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_neardup_chain_converges_logarithmically(spark, chain_docs):
+    # precondition: the LSH candidate graph really links each adjacent
+    # pair (deterministic md5 minhashes, so this is stable)
+    pairs = text_dedup.minhash_lsh_pairs(chain_docs, num_hashes=8, bands=4).toPandas()
+    edge_set = {tuple(sorted((r.doc_a, r.doc_b))) for r in pairs.itertuples()}
+    missing = [(i, i + 1) for i in range(7) if (i, i + 1) not in edge_set]
+    assert not missing, f"chain fixture lost adjacency edges {missing}"
+    stats = {}
+    out = text_dedup.neardup_clusters(
+        chain_docs, num_hashes=8, bands=4, stats=stats
+    ).toPandas()
+    assert set(out["representative"]) == {0}  # one fully merged cluster
+    assert stats["converged"]
+    # pointer jumping: rounds ~ log2(chain), not chain length (7 hops)
+    assert stats["iterations"] <= 5
+
+
+def test_neardup_clusters_warns_on_backstop(spark, chain_docs):
+    stats = {}
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        text_dedup.neardup_clusters(
+            chain_docs, num_hashes=8, bands=4, max_iterations=1, stats=stats
+        )
+    assert stats["converged"] is False
+
+
+def test_minhash_xxhash64_family_matches_md5(spark, docs):
+    """The integer (cluster-speed) hash family must behave as a valid
+    minhash permutation family: duplicate-insensitive signatures and a
+    candidate set consistent with the md5 (oracle-portable) family."""
+    sig = (
+        text_dedup.minhash_signatures(docs, num_hashes=8, hash_family="xxhash64")
+        .toPandas().set_index("doc_id")
+    )
+    # whitespace variants normalize to the same shingles -> same sig
+    assert sig.loc[0].equals(sig.loc[1]) and sig.loc[0].equals(sig.loc[4])
+    xxp = text_dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, hash_family="xxhash64"
+    ).toPandas()
+    row = xxp[(xxp.doc_a == 0) & (xxp.doc_b == 1)]
+    assert row["n_bands_shared"].iloc[0] == 4  # identical docs: all bands
+
+
+def test_minhash_xxhash64_family_on_testdata(spark):
+    """sf0.001 corpus: the two hash families are independent minhash
+    permutations, so their LSH candidate sets must substantially agree
+    (borderline-Jaccard pairs may differ either way)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact duplicates by construction: every 7th doc recurs
+    # under id + 100000 (same text) — the guaranteed-recall probes
+    clones = base.filter((F.col("doc_id") % 7 == 0) & (F.size(F.split("text", " ")) >= 3)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = base.select("doc_id", "text").unionByName(clones)
+    md5p = text_dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, hash_family="md5"
+    ).toPandas()
+    xxp = text_dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, hash_family="xxhash64"
+    ).toPandas()
+    a = {(r.doc_a, r.doc_b) for r in md5p.itertuples()}
+    b = {(r.doc_a, r.doc_b) for r in xxp.itertuples()}
+    assert a and b
+    assert len(a & b) / max(len(a), len(b)) >= 0.8
+    # GUARANTEED part: normalized-identical docs have identical shingle
+    # sets, hence identical signatures in ANY family -> every exact-dup
+    # pair must be found by both with all 4 bands shared
+    exact_pairs = {
+        (cid - 100000, cid) for cid in clones.toPandas()["doc_id"]
+    }
+    assert exact_pairs, "fixture corpus should contain exact duplicates"
+    full_a = {
+        (r.doc_a, r.doc_b) for r in md5p.itertuples() if r.n_bands_shared == 4
+    }
+    full_b = {
+        (r.doc_a, r.doc_b) for r in xxp.itertuples() if r.n_bands_shared == 4
+    }
+    assert exact_pairs <= full_a and exact_pairs <= full_b

@@ -35,6 +35,7 @@ def salted_two_phase_agg(
     key: Column,
     agg_exprs: dict[str, Column],
     salt_buckets: int = 16,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation with an explicit salt on the hot key.
 
@@ -50,8 +51,20 @@ def salted_two_phase_agg(
     task is retried or a stage recomputed after a fetch failure,
     duplicating/losing partial aggregates.  Content hashing makes
     re-executed tasks reproduce identical partials.
+
+    Limitation: byte-identical rows hash to the SAME salt bucket, so a
+    hot key made of exact duplicates (a common crawl shape before
+    dedup) is NOT spread by content salting alone.  Pass
+    ``row_id_col`` naming a pre-existing unique id column (crawl
+    record id, offset, (url, warc_ts) digest...) to restore spreading
+    for duplicate payloads — it is simply mixed into the hash, so
+    determinism under task retry is preserved.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    id_cols = [F.col(row_id_col)] if row_id_col else []
+    salt = F.pmod(
+        F.xxhash64(*id_cols, *[F.col(c) for c in df.columns]),
+        F.lit(salt_buckets),
+    )
     partial = (
         df.withColumn("_k", key)
         .withColumn("_salt", salt)

@@ -273,62 +273,99 @@ def neardup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     MinHash-LSH candidate-pair graph, as iterative min-label
-    propagation (each doc's cluster representative = the smallest doc
-    id reachable through near-dup edges).
+    propagation with pointer jumping (each doc's cluster
+    representative = the smallest doc id reachable through near-dup
+    edges).
 
-    Iteration count is O(cluster diameter) — near-dup clusters are
-    dense (every member pairs with the representative via shared
-    bands), so this converges in 2-3 rounds in practice; convergence is
-    detected exactly (no label changed), with ``max_iterations`` as a
-    backstop.  This is the distributed analog of the union-find pass a
-    single-node dedup pipeline runs over its pair list.
+    Each round does two things: (1) hash-to-min — every doc takes the
+    minimum label among itself and its neighbors (one hop), then
+    (2) pointer jumping — every doc also takes its label's OWN label
+    (label[label[v]]), which halves remaining path lengths.  Together
+    the rounds needed are O(log diameter), so even an adversarial
+    near-dup CHAIN of length d converges in ~log2(d) rounds instead of
+    d; dense clusters (the common crawl shape) still converge in 2-3.
+    Convergence is detected exactly (no label changed in a full
+    round).  If the ``max_iterations`` backstop fires first, the
+    result would be PARTIALLY merged — this warns loudly and records
+    ``converged=False`` in ``stats`` so callers can detect truncation
+    (the DuckDB recursive-CTE oracle would diverge on such inputs).
+
+    Every round's label table is ``localCheckpoint``-ed (eager): the
+    per-round plan therefore never embeds previous rounds' joins, so
+    plan size, optimizer time, and recompute-on-failure cost stay
+    O(1) per round instead of O(rounds) — the difference between 3 and
+    20 rounds being safe at 100 TB.
+
+    ``stats`` (optional dict) is filled with ``iterations`` and
+    ``converged`` for tests/monitoring.
 
     Output: (doc_id, representative, cluster_size) for EVERY document
     (singletons are their own representative).
     """
+    import warnings
+
     pairs = minhash_lsh_pairs(docs, num_hashes, bands, id_col, text_col).select(
         "doc_a", "doc_b"
     )
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     labels = (
         docs.select(F.col(id_col).alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
+    converged = False
+    iterations = 0
     for _ in range(max_iterations):
+        iterations += 1
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "label"
-                ),
-            )
-            .cache()
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.dst, "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            F.col("label").alias("_old"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        rep = labels.select(
+            F.col("doc_id").alias("_rid"), F.col("label").alias("_rlabel")
         )
-        labels.unpersist()
-        labels = new_labels
+        jumped = stepped.join(rep, stepped.label == rep._rid, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("_rlabel", "label")).alias("label"),
+            "_old",
+        )
+        # eager localCheckpoint: materializes THIS round and truncates
+        # lineage, so the changed-count below and the next round both
+        # read stored blocks instead of replaying prior rounds
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("label") != F.col("_old")).count()
+        labels = jumped.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
+    if not converged:
+        warnings.warn(
+            f"neardup_clusters hit max_iterations={max_iterations} before "
+            "convergence — returned clusters are PARTIALLY merged (labels "
+            "did not finish propagating); raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

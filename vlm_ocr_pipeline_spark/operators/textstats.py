@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..textnorm import normalize_text as _norm, words as _words
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
 
 # marker words per language for the n-gram/langid heuristic; counts of
@@ -21,10 +23,6 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "et"),
     "es": ("el", "los", "que"),
 }
-
-
-def _norm(text: Column) -> Column:
-    return F.trim(F.regexp_replace(text, r"\s+", " "))
 
 
 def _count_occurrences(haystack: Column, needle: str) -> Column:
@@ -46,7 +44,7 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     norm = _norm(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.size(_words(F.col(text_col))).alias("n_tokens"),
         F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
             "n_bpe_tokens"
         ),
@@ -60,8 +58,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     mean word length, stopword ratio, punctuation ratio, digit ratio.
     Each ratio is one exact double division (oracle-stable)."""
     norm = _norm(F.col(text_col))
-    words = F.split(norm, " ")
-    n_words = F.size(words)
+    n_words = F.size(_words(F.col(text_col)))
     n_chars = F.length(norm)
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     n_stop = sum(
