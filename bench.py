@@ -72,14 +72,15 @@ def main() -> None:
     if only != "extract":
         qs = entrymod.queries()
         bench_queries = [
-            "extract_markdown",       # documents-table end-to-end extraction
+            "extract_render",         # documents-table end-to-end extraction
+            "figure_crops",
             "group_join_agg",
             "reading_order_window",
             "rate_window",
             "median_quantity",
             "conf_filter",
             "top_k_orders",
-            "token_count",
+            "token_fingerprints",
             "quality_scores",
             "exact_dedup",
             "minhash_lsh",
@@ -87,6 +88,8 @@ def main() -> None:
             "simhash",
             "simhash64_neardup",
             "neardup_clusters",
+            "dedup_apply",
+            "derive_coarser",
             "pdf_markdown_fonts",
             "token_shards",
             "tfidf_top3",

@@ -1,10 +1,11 @@
-"""Scaling evidence for a SHUFFLE-HEAVY operator (north_rule
+"""Scaling evidence for SHUFFLE-HEAVY operators (north_rule
 complement): the extraction stage is embarrassingly parallel, so its
-0.94 says little about shuffle scaling.  This harness runs MinHash-LSH
-candidate-pair dedup (explode -> groupBy doc -> band explode -> bucket
-join -> pair agg: three shuffles) over the same synthetic corpus at
+0.94 says little about shuffle scaling.  This harness runs each op in
+OPS (MinHash-LSH candidate pairs: three shuffles; near-dup connected
+components: LSH + iterative label propagation; exact-dedup apply: one
+window shuffle on the content hash) over the same synthetic corpus at
 local[4] vs local[16] in fresh subprocesses, best-of-N per level
-(SCALING_DEDUP_TRIALS, default 3), and writes SCALING_DEDUP.json
+(SCALING_DEDUP_TRIALS, default 2), and writes SCALING_DEDUP.json
 (embedded into bench.py's JSON line).
 """
 
@@ -22,6 +23,19 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SCALING_DEDUP_DOCS", "150000"))
+OP_NAMES = ("minhash_lsh_pairs", "neardup_clusters", "dedup_apply")
+
+
+def _build(op: str, docs):
+    from vlm_ocr_pipeline_spark.operators import text_dedup as td
+
+    if op == "minhash_lsh_pairs":
+        return td.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    if op == "neardup_clusters":
+        return td.neardup_clusters(docs, num_hashes=8, bands=4)
+    if op == "dedup_apply":
+        return td.dedup_keep_representatives(docs)
+    raise ValueError(op)
 
 
 def _gen(spark, path: str, n: int) -> None:
@@ -51,11 +65,10 @@ def _gen(spark, path: str, n: int) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
-def _worker(cpus: int, path: str) -> None:
-    from vlm_ocr_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
+def _worker(cpus: int, op: str, path: str) -> None:
     from vlm_ocr_pipeline_spark.plans.session import get_spark
 
-    spark = get_spark(app=f"dedup-scaling-{cpus}", master=f"local[{cpus}]")
+    spark = get_spark(app=f"dedup-scaling-{op}-{cpus}", master=f"local[{cpus}]")
     docs = spark.read.parquet(path)
     docs.count()  # warm scan
     # JIT/codegen warm-up on a 3% sample (identical plan shapes): the
@@ -64,20 +77,18 @@ def _worker(cpus: int, path: str) -> None:
     # would read as fake anti-scaling (measured: 0.63 cold vs 0.88+
     # steady-state).  Steady state is the honest number — compile cost
     # amortizes to zero on real long-running inputs.
-    minhash_lsh_pairs(
-        docs.sample(0.03, seed=1), num_hashes=8, bands=4
-    ).count()
+    _build(op, docs.sample(0.03, seed=1)).count()
     t0 = time.monotonic()
-    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
+    n_out = _build(op, docs).count()
     dt = time.monotonic() - t0
-    print(json.dumps({"secs": dt, "pairs": pairs}))
+    print(json.dumps({"secs": dt, "rows": n_out}))
     spark.stop()
 
 
-def _run(cpus: int, path: str, trials: int = 2) -> float:
+def _run(cpus: int, op: str, path: str, trials: int) -> float:
     best = None
     for _ in range(trials):
-        env = dict(os.environ, SCALING_DEDUP_WORKER=f"{cpus}:{path}")
+        env = dict(os.environ, SCALING_DEDUP_WORKER=f"{cpus}:{op}:{path}")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=1800,
@@ -85,7 +96,7 @@ def _run(cpus: int, path: str, trials: int = 2) -> float:
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if out.returncode != 0 or not lines:
             raise RuntimeError(
-                f"worker local[{cpus}] failed (rc={out.returncode}); "
+                f"worker local[{cpus}] {op} failed (rc={out.returncode}); "
                 f"stderr tail:\n{out.stderr[-2000:]}"
             )
         secs = json.loads(lines[-1])["secs"]
@@ -96,8 +107,8 @@ def _run(cpus: int, path: str, trials: int = 2) -> float:
 def main() -> None:
     worker = os.environ.get("SCALING_DEDUP_WORKER")
     if worker:
-        cpus, path = worker.split(":", 1)
-        _worker(int(cpus), path)
+        cpus, op, path = worker.split(":", 2)
+        _worker(int(cpus), op, path)
         return
     from vlm_ocr_pipeline_spark.plans.session import get_spark
 
@@ -108,30 +119,39 @@ def main() -> None:
     spark = get_spark(app="dedup-scaling-gen", master="local[32]")
     _gen(spark, path, N_DOCS)
     spark.stop()
-    trials = int(os.environ.get("SCALING_DEDUP_TRIALS", "3"))
+    trials = int(os.environ.get("SCALING_DEDUP_TRIALS", "2"))
+    only = os.environ.get("SCALING_DEDUP_OPS")
+    ops = tuple(only.split(",")) if only else OP_NAMES
+    results = {}
     try:
-        t4 = _run(4, path, trials)
-        t16 = _run(16, path, trials)
+        for op in ops:
+            t4 = _run(4, op, path, trials)
+            t16 = _run(16, op, path, trials)
+            eff = (t4 / t16) / 4
+            results[op] = {
+                "docs": N_DOCS,
+                "n_cores": 4,
+                "four_n_cores": 16,
+                "secs_n": round(t4, 2),
+                "secs_4n": round(t16, 2),
+                "docs_per_sec_n": round(N_DOCS / t4, 1),
+                "docs_per_sec_4n": round(N_DOCS / t16, 1),
+                "speedup": round(t4 / t16, 3),
+                "scaling_efficiency": round(eff, 3),
+                "target": 0.8,
+                "pass": eff >= 0.8,
+            }
+            print(json.dumps({op: results[op]}))
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    eff = (t4 / t16) / 4
-    result = {
-        "op": "minhash_lsh_pairs",
-        "docs": N_DOCS,
-        "n_cores": 4,
-        "four_n_cores": 16,
-        "secs_n": round(t4, 2),
-        "secs_4n": round(t16, 2),
-        "docs_per_sec_n": round(N_DOCS / t4, 1),
-        "docs_per_sec_4n": round(N_DOCS / t16, 1),
-        "speedup": round(t4 / t16, 3),
-        "scaling_efficiency": round(eff, 3),
+    summary = {
+        "ops": results,
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": all(r["pass"] for r in results.values()),
     }
     with open(os.path.join(REPO, "SCALING_DEDUP.json"), "w") as f:
-        json.dump(result, f)
-    print(json.dumps(result))
+        json.dump(summary, f)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

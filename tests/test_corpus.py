@@ -279,3 +279,67 @@ def test_hypertable_rollup_derivation_consistency(spark):
     # every resolution conserves the event count
     totals = full.groupBy("resolution").agg(F.sum("n_events").alias("n")).toPandas()
     assert (totals["n"] == events.count()).all()
+
+
+def test_asof_join_sliced_parity(spark):
+    """The hot-key-safe sliced variant must return exactly asof_join's
+    result at any slice width (including widths smaller than gaps, so
+    carry-in crosses several empty slices)."""
+    import datetime as dt
+
+    from vlm_ocr_pipeline_spark.operators.asof import asof_join, asof_join_sliced
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, i, T(i * 7 % 59)) for i in range(30)] + [(2, 99, T(3))],
+        ["k", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 900, T(5)), (1, 901, T(8)), (1, 902, T(40)), (3, 950, T(1))],
+        ["k", "rid", "ts"],
+    )
+    base = (
+        asof_join(left, right, "k", "ts", "ts", ["rid"], "m_")
+        .orderBy("lid").toPandas().reset_index(drop=True)
+    )
+    for width in (1, 4, 30, 86400):
+        sliced = (
+            asof_join_sliced(left, right, "k", "ts", "ts", ["rid"], "m_",
+                             slice_seconds=width)
+            .orderBy("lid").toPandas().reset_index(drop=True)
+        )
+        assert base.equals(sliced[base.columns.tolist()]), width
+
+
+def test_asof_reserved_column_guard(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from vlm_ocr_pipeline_spark.operators.asof import asof_join, range_join
+
+    T = dt.datetime(2024, 1, 1)
+    bad = spark.createDataFrame([(1, T, 0)], ["k", "ts", "_side"])
+    ok = spark.createDataFrame([(1, T, 5)], ["k", "ts", "v"])
+    with _pt.raises(ValueError, match="_side"):
+        asof_join(bad, ok, "k", "ts", "ts", ["v"])
+    with _pt.raises(ValueError, match="reserved"):
+        range_join(ok.withColumnRenamed("v", "_b"), ok, "k", "ts", "ts", "ts")
+
+
+def test_pack_token_shards_exact_prefix_sum(spark):
+    """Shard assignment equals the exact driver-side prefix sum even
+    when input ids arrive reverse-ordered across many partitions (no
+    dependence on pid/range alignment)."""
+    rows = [(i, " ".join(["tok"] * (1 + i % 13))) for i in reversed(range(200))]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    out = (
+        corpus.pack_token_shards(d, tokens_per_shard=100, num_range_partitions=5)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    running = 0
+    for i in range(200):
+        n = 1 + i % 13
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "shard_id"] == running // 100, i
+        running += n

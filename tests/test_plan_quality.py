@@ -167,7 +167,11 @@ def test_token_shards_has_no_global_single_partition_window(spark):
     from vlm_ocr_pipeline_spark.operators.corpus import pack_token_shards
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    df = pack_token_shards(docs, tokens_per_shard=1000, num_range_partitions=4)
+    # checkpoint=False: localCheckpoint would truncate the plan and
+    # hide the window spec this gate inspects
+    df = pack_token_shards(
+        docs, tokens_per_shard=1000, num_range_partitions=4, checkpoint=False
+    )
     plan = _optimized(df)
     # windowspecdefinition(_pid ...) proves the cumulative sum is
     # partitioned by the range-partition id, never a global (empty

@@ -341,3 +341,30 @@ def test_block_type_maps_full_parity():
                 label.upper(), det
             )
         assert map_type("no_such_label", det) == "no_such_label"
+
+
+def test_detector_type_maps_match_reference():
+    """All five reference detector-vocabulary maps (block.py:83-166)
+    are present verbatim; map_type falls back like block.py:183-186."""
+    from pipeline.types.block import BlockTypeMapper
+
+    from vlm_ocr_pipeline_spark.functions.block_types import (
+        DETECTOR_TYPE_MAPS,
+        map_type,
+    )
+
+    ref_maps = {
+        "doclayout-yolo": BlockTypeMapper.DOCLAYOUT_YOLO_MAP,
+        "mineru-doclayout-yolo": BlockTypeMapper.MINERU_DOCLAYOUT_YOLO_MAP,
+        "mineru-vlm": BlockTypeMapper.MINERU_VLM_MAP,
+        "olmocr-vlm": BlockTypeMapper.OLMOCR_VLM_MAP,
+        "paddleocr-doclayout-v2": BlockTypeMapper.PADDLEOCR_DOCLAYOUT_V2_MAP,
+    }
+    for det, ref in ref_maps.items():
+        assert DETECTOR_TYPE_MAPS[det] == {k: str(v) for k, v in ref.items()}, det
+        for label, want in ref.items():
+            assert map_type(label.upper(), det) == str(want)
+            assert BlockTypeMapper.map_type(label, det) == map_type(label, det)
+    # unknown labels pass through on both sides
+    assert map_type("mystery", "mineru-vlm") == "mystery"
+    assert BlockTypeMapper.map_type("mystery", "mineru-vlm") == "mystery"

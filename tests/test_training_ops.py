@@ -349,3 +349,62 @@ def test_minhash_xxhash64_family_on_testdata(spark):
         (r.doc_a, r.doc_b) for r in xxp.itertuples() if r.n_bands_shared == 4
     }
     assert exact_pairs <= full_a and exact_pairs <= full_b
+
+
+def test_figure_crop_alt_binds_earlier_unused_tag(spark):
+    """A block whose alt equals an UNUSED EARLIER tag must bind to it
+    (first-remaining-match semantics), and exhausted tags yield
+    null-crop rows instead of silently dropping blocks."""
+    import datetime as dt
+
+    from vlm_ocr_pipeline_spark.operators.figures import figure_crop_batch
+    import pandas as pd
+
+    html = (
+        "<html><body><main><article><h1>T</h1><p>Body text here</p>"
+        '<figure><img src="a.png" alt="beta"><figcaption>c1</figcaption></figure>'
+        '<figure><img src="b.png" alt="alpha"><figcaption>c2</figcaption></figure>'
+        "</article></main></body></html>"
+    ).encode()
+    pdf = pd.DataFrame(
+        {"url": ["u"], "warc_ts": [dt.datetime(2026, 1, 1)], "html": [html]}
+    )
+    out = figure_crop_batch(pdf)
+    by_desc = out.set_index("description")
+    # detector emits blocks in DOM order (beta then alpha); alt pairing
+    # must map each block to ITS tag even though alpha's tag is earlier
+    # than the cursor after beta binds
+    assert b'alt="beta"' in bytes(by_desc.loc["beta", "crop"])
+    assert b'alt="alpha"' in bytes(by_desc.loc["alpha", "crop"])
+
+
+def test_figure_crop_suppressed_tracker_does_not_steal(spark):
+    """An <img> in a suppressed region (comments div) must not steal a
+    main-content block's byte span: the captioned figure alt-binds its
+    own tag even though the tracker's byte span comes first, and an
+    alt-less main img falls back POSITIONALLY (never to the earlier
+    suppressed tracker via None==None alt matching)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from vlm_ocr_pipeline_spark.operators.figures import figure_crop_batch
+
+    html = (
+        "<html><body>"
+        '<nav><a href="/home">home</a><img src="trk.gif"></nav>'
+        "<main><article><h1>T</h1><p>Body text of the page here</p>"
+        '<figure><img src="a.png" alt="fig one"><figcaption>c1</figcaption></figure>'
+        '<img src="b.png">'
+        "</article></main></body></html>"
+    ).encode()
+    pdf = pd.DataFrame(
+        {"url": ["u"], "warc_ts": [dt.datetime(2026, 1, 1)], "html": [html]}
+    )
+    out = figure_crop_batch(pdf)
+    crops = [bytes(c) for c in out["crop"]]
+    assert any(b'alt="fig one"' in c for c in crops)
+    # the alt-less main img must take b.png (positionally after a.png),
+    # not the suppressed tracker
+    assert any(b'src="b.png"' in c for c in crops)
+    assert not any(b"trk.gif" in c for c in crops)

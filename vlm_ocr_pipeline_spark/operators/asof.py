@@ -22,6 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+_RESERVED = ("_k", "_t", "_side", "_r", "_l", "_m", "_b", "_slice")
+
+
+def _guard_columns(*frames: DataFrame) -> None:
+    """The operators below stage their plumbing in ``_RESERVED``
+    temporary columns; an input frame already carrying one of those
+    names would silently shadow the plumbing (wrong selects or
+    analysis errors), so collisions fail fast instead."""
+    for df in frames:
+        hit = sorted(set(df.columns) & set(_RESERVED))
+        if hit:
+            raise ValueError(
+                f"input columns {hit} collide with reserved internal "
+                f"names {_RESERVED}; rename them before the join"
+            )
+
 
 def asof_join(
     left: DataFrame,
@@ -34,7 +50,16 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join.  Output: every left row + ``prefix``-prefixed
     ``value_cols`` from the matched right row (null when no right row
-    at or before the left time)."""
+    at or before the left time).
+
+    Hot-key constraint: the window partitions by ``on`` alone, so ONE
+    pathological key (a single user with 10^8 events) serializes
+    through one task at scale.  For inputs with such keys use
+    :func:`asof_join_sliced`, which adds a time-slice to the partition
+    key and carries values across slice boundaries with a second
+    (tiny, one-row-per-slice) window — same results, bounded tasks.
+    """
+    _guard_columns(left, right)
     rt = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -64,6 +89,77 @@ def asof_join(
     return out.select(*cols)
 
 
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+    slice_seconds: int = 86400,
+) -> DataFrame:
+    """:func:`asof_join` with bounded tasks under hot keys.
+
+    The big window partitions by (key, time-slice) instead of key, so
+    a hot key's rows spread over (span / slice_seconds) tasks.  Rows
+    whose slice has no earlier right row take the carry-in value: the
+    last right row of ANY previous slice, computed by a second window
+    over one row per (key, slice) — negligible data, and the only
+    cross-slice communication.  Results are identical to asof_join.
+    """
+    _guard_columns(left, right)
+    sl = lambda t: F.floor(F.unix_timestamp(F.col(t)) / int(slice_seconds))  # noqa: E731
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        sl(right_time).alias("_slice"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        sl(left_time).alias("_slice"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rt.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    rt = rt.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("_k", "_slice")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    # carry-in per (key, slice): the time-max right value of each slice
+    # that HAS rights, carried forward over strictly-previous slices.
+    # One row per (key, slice) — the windows here are tiny by design.
+    rlast = rt.groupBy("_k", "_slice").agg(
+        F.max(F.struct(F.col("_t"), F.col("_r"))).alias("_x")
+    )
+    slices = u.select("_k", "_slice").distinct()
+    wprev = (
+        Window.partitionBy("_k")
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        slices.join(rlast, ["_k", "_slice"], "left")
+        .withColumn("_m0", F.last("_x", ignorenulls=True).over(wprev))
+        .select("_k", "_slice", F.col("_m0._r").alias("_m0r"))
+    )
+    out = (
+        filled.filter(F.col("_side") == 1)
+        .join(carry, ["_k", "_slice"], "left")
+        .withColumn("_m", F.coalesce("_m", "_m0r"))
+    )
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in value_cols]
+    return out.select(*cols)
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -87,6 +183,7 @@ def range_join(
 
     Output: matching (point columns + interval columns) pairs.
     """
+    _guard_columns(points, intervals)
     w = int(bucket_seconds)
     pb = points.withColumn(
         "_b", F.floor(F.unix_timestamp(F.col(time_col)) / w)

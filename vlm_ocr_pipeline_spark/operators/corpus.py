@@ -48,6 +48,7 @@ def pack_token_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_range_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Pack documents (in id order) into shards of ~``tokens_per_shard``
     whitespace tokens: shard_id = floor(exclusive_prefix_sum / budget).
@@ -58,9 +59,14 @@ def pack_token_shards(
     WITHIN each partition, then add each partition's exclusive offset
     (one bounded collect of P partial totals — P rows, never data).
 
-    The intermediate is cached so the offset collect and the final
-    select see the SAME range partitioning; sessions packing many
-    tables should spark.catalog.clearCache() between calls.
+    Robustness: the intermediate is ``localCheckpoint``-ed (eager), so
+    the offset collect and the final select read the SAME materialized
+    partitioning — a recompute can't silently re-assign partition ids
+    (with cache() an evicted block would).  Partition offsets
+    accumulate in the order of each partition's MIN doc_id (the actual
+    range order observed in the data), not in ascending-pid order, so
+    nothing depends on repartitionByRange's undocumented pid/range
+    alignment.
 
     Output: (doc_id, n_tokens, shard_id).
     """
@@ -75,17 +81,19 @@ def pack_token_shards(
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy("doc_id")
-    local = base.withColumn("_cum_local", F.sum("n_tokens").over(w)).cache()
-    # bounded driver collect: one total per partition (P rows)
-    totals = {
-        r["_pid"]: r["t"]
-        for r in local.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
+    local = base.withColumn("_cum_local", F.sum("n_tokens").over(w))
+    # checkpoint=False keeps the logical plan inspectable (plan-gate
+    # tests) at the cost of the weaker cache() pinning
+    local = local.localCheckpoint(eager=True) if checkpoint else local.cache()
+    # bounded driver collect: one (total, min-id) pair per partition
+    parts = local.groupBy("_pid").agg(
+        F.sum("n_tokens").alias("t"), F.min("doc_id").alias("mn")
+    ).collect()
     offsets = {}
     running = 0
-    for pid in sorted(totals):
-        offsets[pid] = running
-        running += totals[pid]
+    for r in sorted(parts, key=lambda r: r["mn"]):
+        offsets[r["_pid"]] = running
+        running += r["t"]
     offset_col = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
     )[F.col("_pid")]

@@ -87,19 +87,42 @@ def figure_crop_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         for bi, b in img_positions:
             desc = b.get("description")
             pick = None
-            for j in range(cursor, len(matches)):
-                if not used[j] and alts[j] == desc:
-                    pick = j
-                    break
-            if pick is None:  # no alt match ahead: next unused in order
+            # alt-equality pass scans ALL unused matches (an alt match
+            # earlier than the positional cursor must still bind: the
+            # cursor orders only the alt-less fallback).  Only REAL alt
+            # texts participate — a None description matching a None
+            # alt is no signal and would bind a suppressed alt-less
+            # tracker pixel from anywhere in the page.
+            if desc is not None:
+                for j in range(len(matches)):
+                    if not used[j] and alts[j] == desc:
+                        pick = j
+                        break
+            if pick is None:  # no alt match anywhere: next unused in order
                 for j in range(cursor, len(matches)):
                     if not used[j]:
                         pick = j
                         break
             if pick is None:
-                break
+                # tags exhausted (detector emitted more image blocks
+                # than raw <img> tags): a null-crop row keeps the block
+                # visible instead of silently dropping the remainder
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": ts,
+                        "block_idx": bi,
+                        "block_type": "image",
+                        "image_path": image_path_for(0, bi, "image"),
+                        "crop": None,
+                        "byte_start": None,
+                        "byte_end": None,
+                        "description": desc,
+                    }
+                )
+                continue
             used[pick] = True
-            cursor = pick + 1
+            cursor = max(cursor, pick + 1)
             m = matches[pick]
             rows.append(
                 {

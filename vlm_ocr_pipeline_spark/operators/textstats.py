@@ -53,6 +53,27 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def token_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """:func:`token_count` + :func:`fingerprints` in ONE projection
+    (same scan, no join) — used where one pass should produce both the
+    token accounting and the content cache key."""
+    norm = _norm(F.col(text_col))
+    h = F.md5(norm)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.length(norm) / 4).cast("int").alias("n_subwords_est"),
+        F.length(norm).alias("n_chars"),
+        h.alias("fingerprint"),
+        F.substring(h, 1, 16).alias("fingerprint16"),
+    )
+
+
 def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality features used by web-corpus filters:
     mean word length, stopword ratio, punctuation ratio, digit ratio.

@@ -358,6 +358,46 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, schema=schema.PAGES_SCHEMA)
 
 
+def figure_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver's ``documents`` table into HTML pages that carry
+    ONE figure (img + figcaption) with doc-derived alt/caption.
+
+    Used by the figure-crop driver query: the wrap is the fixed
+    wrap_html template around four holes (title twice, escaped text
+    once, alt twice, caption once), so the img tag's byte span and
+    bytes are reconstructible in pure SQL (octet_length of the filled
+    prefix) — the same template-oracle trick as extract_dedup.
+    """
+    from ..partitioning import spread_narrow
+
+    docs = spread_narrow(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                doc_id = int(doc_id)
+                rows.append(
+                    {
+                        "url": f"https://docs.example.org/fig/{doc_id}",
+                        "warc_ts": BASE_TS + timedelta(seconds=doc_id),
+                        "html": wrap_html(
+                            f"Doc {doc_id}",
+                            [text],
+                            figure=(
+                                f"Figure {doc_id} diagram",
+                                f"Caption {doc_id}",
+                            ),
+                        ).encode("utf-8"),
+                        "text": None,
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema.PAGES_SCHEMA)
+
+
 def pdf_pages_from_documents(
     spark: SparkSession, sf_dir: str, max_chars: int = 60
 ) -> DataFrame:
