@@ -400,10 +400,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint16",
         )
 
-    def quality_scores(spark, sf):
-        from vlm_ocr_pipeline_spark.operators.textstats import quality_scores as op
+    def quality_lang(spark, sf):
+        """quality_scores + lang_id (the two former driver queries,
+        consolidated for the 50-query budget)."""
+        from vlm_ocr_pipeline_spark.operators.textstats import quality_lang as op
 
         d = op(_t(spark, sf, "documents"))
+        cast = [F.col(c).cast("long").alias(c) for c in d.columns if c.startswith("score_")]
         return d.select(
             "doc_id",
             F.col("n_words").cast("long").alias("n_words"),
@@ -411,14 +414,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stopword_ratio",
             "punct_ratio",
             "digit_ratio",
+            "predicted_lang",
+            *cast,
         )
 
-    def lang_id(spark, sf):
-        from vlm_ocr_pipeline_spark.operators.textstats import lang_id as op
+    def repetition_quality(spark, sf):
+        """Gopher-style repetition filter signals (distinct-word ratio,
+        top-bigram share, pass flag)."""
+        from vlm_ocr_pipeline_spark.operators.textstats import (
+            repetition_quality as op,
+        )
 
-        d = op(_t(spark, sf, "documents"))
-        cast = [F.col(c).cast("long").alias(c) for c in d.columns if c.startswith("score_")]
-        return d.select("doc_id", "predicted_lang", *cast)
+        return op(_t(spark, sf, "documents"))
 
     def train_test_split(spark, sf):
         from vlm_ocr_pipeline_spark.operators.corpus import deterministic_split
@@ -438,8 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
     q["token_fingerprints"] = token_fingerprints
-    q["quality_scores"] = quality_scores
-    q["lang_id"] = lang_id
+    q["quality_lang"] = quality_lang
+    q["repetition_quality"] = repetition_quality
     def url_canonical(spark, sf):
         from vlm_ocr_pipeline_spark.operators.urls import canonical_url
 
@@ -879,21 +886,7 @@ def oracle_sql() -> dict[str, str]:
         f"CAST((length(p) - length(regexp_replace(p, ' {w} ', '', 'g'))) / {len(w) + 2} AS INT)"
         for w in ("the", "a", "and", "of", "to", "in", "is", "on")
     )
-    o["quality_scores"] = f"""
-        WITH n AS (SELECT doc_id, {collapse} AS t FROM documents),
-        p AS (SELECT doc_id, t, ' ' || t || ' ' AS p FROM n)
-        SELECT doc_id,
-               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
-               length(t) / CAST(len(string_split(t, ' ')) AS DOUBLE) AS mean_word_len,
-               ({stop_terms}) / CAST(len(string_split(t, ' ')) AS DOUBLE)
-                   AS stopword_ratio,
-               (length(t) - length(regexp_replace(t, '[\\.,;:!\\?]', '', 'g')))
-                   / CAST(length(t) AS DOUBLE) AS punct_ratio,
-               (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
-                   / CAST(length(t) AS DOUBLE) AS digit_ratio
-        FROM p
-    """
-    # lang_id oracle built programmatically to mirror the Spark op
+    # quality + lang_id oracle built programmatically to mirror the op
     from vlm_ocr_pipeline_spark.operators.textstats import LANG_MARKERS
 
     def _occ(m: str) -> str:
@@ -915,10 +908,52 @@ def oracle_sql() -> dict[str, str]:
         best_score = f"CASE WHEN {s} >= greatest({best_score}, 1) THEN {s} ELSE {best_score} END"
     score_sel = ", ".join(f"CAST(s_{lang} AS BIGINT) AS score_{lang}" for lang in langs)
     inner = ", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
-    o["lang_id"] = f"""
-        WITH p AS (SELECT doc_id, ' ' || {collapse} || ' ' AS p FROM documents),
-        s AS (SELECT doc_id, {inner} FROM p)
-        SELECT doc_id, {best} AS predicted_lang, {score_sel} FROM s
+    o["quality_lang"] = f"""
+        WITH n AS (SELECT doc_id, {collapse} AS t FROM documents),
+        p AS (SELECT doc_id, t, ' ' || t || ' ' AS p FROM n),
+        s AS (SELECT doc_id, t, p, {inner} FROM p)
+        SELECT doc_id,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+               length(t) / CAST(len(string_split(t, ' ')) AS DOUBLE) AS mean_word_len,
+               ({stop_terms}) / CAST(len(string_split(t, ' ')) AS DOUBLE)
+                   AS stopword_ratio,
+               (length(t) - length(regexp_replace(t, '[\\.,;:!\\?]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) AS punct_ratio,
+               (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) AS digit_ratio,
+               {best} AS predicted_lang, {score_sel}
+        FROM s
+    """
+    # repetition_quality: distinct-word ratio + top-bigram share; the
+    # bigram CTE mirrors textnorm.shingle_array(text, 2) via a lateral
+    # generate_series (empty for docs with < 2 words, like Spark)
+    o["repetition_quality"] = f"""
+        WITH w AS (
+            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+        ),
+        stats AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                   len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+                       AS distinct_word_ratio
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bg
+            FROM w
+        ),
+        cnt AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, max(n) / CAST(sum(n) AS DOUBLE) AS top_bigram_ratio
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_words, s.distinct_word_ratio,
+               top.top_bigram_ratio,
+               (s.distinct_word_ratio >= 0.3
+                AND coalesce(top.top_bigram_ratio, 0.0) <= 0.2)
+                   AS quality_pass
+        FROM stats s LEFT JOIN top ON s.doc_id = top.doc_id
     """
     o["vocab_stats"] = f"""
         WITH terms AS (

@@ -408,3 +408,22 @@ def test_figure_crop_suppressed_tracker_does_not_steal(spark):
     # not the suppressed tracker
     assert any(b'src="b.png"' in c for c in crops)
     assert not any(b"trk.gif" in c for c in crops)
+
+
+def test_repetition_quality_flags_looped_content(spark):
+    rows = [
+        (0, "buy now " * 30),                       # one bigram dominates
+        (1, "the quick brown fox jumps over a lazy dog near the river bank"),
+        (2, "word " * 40),                          # single repeated word
+        (3, "solo"),                                # < 2 words: no bigrams
+    ]
+    d = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    out = textstats.repetition_quality(d).toPandas().set_index("doc_id")
+    assert not out.loc[0, "quality_pass"]           # top bigram 'now buy' ~0.5
+    assert out.loc[0, "top_bigram_ratio"] > 0.2
+    assert out.loc[1, "quality_pass"]
+    assert out.loc[1, "distinct_word_ratio"] > 0.8
+    assert not out.loc[2, "quality_pass"]           # distinct ratio 1/40
+    assert out.loc[3, "n_words"] == 1
+    assert out.loc[3].isna()["top_bigram_ratio"]    # no bigrams -> null
+    assert out.loc[3, "quality_pass"]               # distinct ratio 1.0

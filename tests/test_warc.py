@@ -1,0 +1,76 @@
+"""WARC source: record walking, gzip members, HTTP payload split,
+end-to-end read into the pages schema + extraction."""
+
+import datetime as dt
+
+import pytest
+
+from vlm_ocr_pipeline_spark.sources import warc
+
+
+TS = dt.datetime(2026, 1, 16, 12, 0, 0)
+
+
+def _records():
+    return [
+        {
+            "url": "https://a.example.org/1",
+            "warc_ts": TS,
+            "payload": b"<html><body><main><article><h1>One</h1>"
+            b"<p>First page body text for the warc test.</p>"
+            b"</article></main></body></html>",
+        },
+        # a request record the reader must skip
+        {
+            "url": "https://a.example.org/1",
+            "warc_ts": TS,
+            "warc_type": "request",
+            "payload": b"GET /1 HTTP/1.1\r\nHost: a.example.org",
+        },
+        {
+            "url": "https://a.example.org/2",
+            "warc_ts": TS + dt.timedelta(seconds=5),
+            # binary payload CONTAINING the record magic — by-length
+            # walking must not desynchronize
+            "payload": b"\x00\x01WARC/1.0\r\nnot a real header\xff" * 3,
+        },
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip_bytes(gz):
+    data = warc.build_warc(_records(), gzip_members=gz)
+    rows = warc.pages_from_warc_bytes(data)
+    assert [r["url"] for r in rows] == [
+        "https://a.example.org/1", "https://a.example.org/2",
+    ]
+    assert rows[0]["warc_ts"] == TS
+    assert rows[0]["html"].startswith(b"<html>")
+    assert rows[1]["html"] == _records()[2]["payload"]
+
+
+def test_warc_truncated_archive_yields_prefix():
+    data = warc.build_warc(_records())
+    rows = warc.pages_from_warc_bytes(data[: len(data) - 40])
+    assert [r["url"] for r in rows] == ["https://a.example.org/1"]
+
+
+def test_read_warc_to_extraction(spark, tmp_path):
+    for i, gz in enumerate([False, True]):
+        p = tmp_path / f"f{i}.warc" / ""
+        (tmp_path / f"f{i}{'.warc.gz' if gz else '.warc'}").write_bytes(
+            warc.build_warc(_records(), gzip_members=gz)
+        )
+    pages = warc.read_warc(spark, str(tmp_path))
+    pdf = pages.toPandas()
+    assert len(pdf) == 4  # 2 response records x 2 files
+    assert set(pdf["url"]) == {
+        "https://a.example.org/1", "https://a.example.org/2",
+    }
+    # the pages flow straight into the extraction pipeline
+    from vlm_ocr_pipeline_spark.plans.pipeline import extract
+
+    out = extract(pages).toPandas().set_index("url")
+    one = out.loc["https://a.example.org/1"]
+    assert (one["rendered_plaintext"] ==
+            "[TITLE] One\n\nFirst page body text for the warc test.").all()

@@ -74,10 +74,9 @@ def token_fingerprints(
     )
 
 
-def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic quality features used by web-corpus filters:
-    mean word length, stopword ratio, punctuation ratio, digit ratio.
-    Each ratio is one exact double division (oracle-stable)."""
+def _quality_cols(text_col: str) -> list[Column]:
+    """Quality-feature expressions (shared by quality_scores and the
+    combined quality_lang projection)."""
     norm = _norm(F.col(text_col))
     n_words = F.size(_words(F.col(text_col)))
     n_chars = F.length(norm)
@@ -87,20 +86,19 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     n_punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[\.,;:!\?]", ""))
     n_digit = F.length(norm) - F.length(F.regexp_replace(norm, r"[0-9]", ""))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         n_words.alias("n_words"),
         (n_chars / n_words).alias("mean_word_len"),
         (n_stop / n_words).alias("stopword_ratio"),
         (n_punct / n_chars).alias("punct_ratio"),
         (n_digit / n_chars).alias("digit_ratio"),
-    )
+    ]
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic: predicted lang = argmax of
-    per-language marker counts, ties broken by language code order,
-    'und' when all counts are zero."""
+def _lang_cols(text_col: str) -> list[Column]:
+    """Language-ID expressions: predicted lang = argmax of per-language
+    marker counts, ties broken by language code order, 'und' when all
+    counts are zero."""
     padded = F.concat(F.lit(" "), _norm(F.col(text_col)), F.lit(" "))
     scores = {
         lang: sum(_count_occurrences(padded, f" {m} ") for m in markers)
@@ -113,9 +111,96 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         cond = scores[lang] >= F.greatest(best_score, F.lit(1))
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    sel = [F.col(id_col).alias("doc_id"), best.alias("predicted_lang")]
+    sel = [best.alias("predicted_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
-    return docs.select(*sel)
+    return sel
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality features used by web-corpus filters:
+    mean word length, stopword ratio, punctuation ratio, digit ratio.
+    Each ratio is one exact double division (oracle-stable)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *_quality_cols(text_col)
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic (see :func:`_lang_cols`)."""
+    return docs.select(F.col(id_col).alias("doc_id"), *_lang_cols(text_col))
+
+
+def quality_lang(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """quality_scores + lang_id in ONE projection (same scan, no
+    join)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *_quality_cols(text_col),
+        *_lang_cols(text_col),
+    )
+
+
+def repetition_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_ratio: float = 0.2,
+    min_distinct_word_ratio: float = 0.3,
+) -> DataFrame:
+    """Repetition-based quality signals for web corpora (the Gopher /
+    MassiveText-style filters, Rae et al. 2021 §A1.1): the fraction of
+    distinct words and the share of the most frequent word bigram.
+    Machine-generated / boilerplate-looped pages score low on the
+    first and high on the second.
+
+    Scale shape: one projection for the per-doc word stats, then
+    explode word bigrams -> count per (doc, bigram) -> max/sum per doc
+    — two shuffles keyed on (doc_id[, bigram]), both well spread; no
+    per-row Python.  Docs with < 2 words have no bigrams: ratio null,
+    and they fail the distinct-ratio gate only if genuinely repetitive.
+
+    Output: (doc_id, n_words, distinct_word_ratio, top_bigram_ratio,
+    quality_pass).
+    """
+    w = _words(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+    stats = base.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        (F.size(F.array_distinct("_w")) / F.size("_w")).alias(
+            "distinct_word_ratio"
+        ),
+    )
+    from ..textnorm import shingle_array
+
+    bi = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_array(F.col(text_col), 2)).alias("bg"),
+    )
+    top = (
+        bi.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_mx"), F.sum("count").alias("_tot"))
+        .select(
+            "doc_id", (F.col("_mx") / F.col("_tot")).alias("top_bigram_ratio")
+        )
+    )
+    out = stats.join(top, "doc_id", "left")
+    passed = (
+        (F.col("distinct_word_ratio") >= F.lit(min_distinct_word_ratio))
+        & (
+            F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0))
+            <= F.lit(max_top_bigram_ratio)
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "distinct_word_ratio",
+        "top_bigram_ratio",
+        passed.alias("quality_pass"),
+    )
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1,0 +1,177 @@
+"""WARC source: read Common-Crawl-style WARC files into the pages
+table shape (url, warc_ts, html, text, lang).
+
+WARC (ISO 28500 / WARC 1.0) is the archive format the input-table
+pages originate from, so an engine claiming the crawl-extraction
+surface needs the ingestion edge too.  Only deterministic parsing —
+no network, no external libs:
+
+- record grammar: ``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length
+  bytes>\\r\\n\\r\\n`` — records are walked by Content-Length (never by
+  regex splitting, which corrupts on binary payloads containing the
+  magic).
+- ``response`` records carry an HTTP message; the page payload is the
+  bytes after the HTTP header terminator.  Other record types
+  (request, metadata, warcinfo, ...) are skipped.
+- gzip: real WARCs are concatenated per-record gzip members; a
+  leading ``1f 8b`` triggers member-by-member decompression
+  (zlib decompressobj loop), which handles both whole-file gzip and
+  member-per-record layouts.
+
+Scale shape: ``spark.read.format("binaryFile")`` gives one task per
+WARC file (WARC is not block-splittable without a sidecar index —
+the same per-file parallelism Common Crawl jobs use: thousands of
+~1 GB files, not splits within one).  Parsing runs in ``mapInPandas``
+over the file bytes; emitted rows carry only url/ts/payload, never
+the raw archive.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schema
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the standard WARC layout:
+    one member per record)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data[pos:]))
+        out.append(d.flush())
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return b"".join(out)
+
+
+def _parse_warc_ts(value: str) -> datetime | None:
+    """WARC-Date is ISO-8601 Zulu (2026-01-16T12:00:00Z)."""
+    try:
+        return (
+            datetime.fromisoformat(value.replace("Z", "+00:00"))
+            .astimezone(timezone.utc)
+            .replace(tzinfo=None)
+        )
+    except ValueError:
+        return None
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, block_bytes) for each WARC record, walking by
+    Content-Length.  Malformed trailing bytes end iteration (a
+    truncated archive yields its complete prefix records)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data[pos : pos + 5] == b"WARC/":
+            break  # desynchronized: stop rather than guess
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if k:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + len(_CRLF2)
+        if body_start + clen > n:
+            break  # truncated record
+        yield headers, data[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def http_payload(block: bytes) -> bytes:
+    """Payload of an HTTP response message: bytes after the header
+    terminator (the whole block when no HTTP headers are present)."""
+    i = block.find(_CRLF2)
+    return block[i + len(_CRLF2) :] if i >= 0 else block
+
+
+def pages_from_warc_bytes(data: bytes) -> list[dict]:
+    """Response-record pages from one WARC file's bytes."""
+    rows = []
+    for headers, block in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+                "html": http_payload(block),
+                "text": None,
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Pages DataFrame from a directory/glob of .warc / .warc.gz files
+    (one task per file; see module docstring for why)."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for b in batches:
+            rows = []
+            for data in b["content"]:
+                rows.extend(pages_from_warc_bytes(bytes(data)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(gen, schema=schema.PAGES_SCHEMA)
+
+
+# ------------------------------------------------------------ writer
+def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Serialize (url, warc_ts, payload[, warc_type, http_headers])
+    dicts as a WARC 1.0 byte stream — the test/fixture twin of
+    :func:`iter_warc_records`."""
+    import gzip as _gzip
+
+    out = []
+    for r in records:
+        wtype = r.get("warc_type", "response")
+        http = r.get(
+            "http_headers", b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+        )
+        body = http + _CRLF2 + r["payload"] if wtype == "response" else r["payload"]
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        rec = (
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {wtype}\r\n".encode()
+            + f"WARC-Target-URI: {r['url']}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(body)}".encode()
+            + _CRLF2
+            + body
+            + b"\r\n\r\n"
+        )
+        out.append(_gzip.compress(rec) if gzip_members else rec)
+    return b"".join(out)
