@@ -81,7 +81,8 @@ def main() -> None:
             "conf_filter",
             "top_k_orders",
             "token_fingerprints",
-            "quality_scores",
+            "quality_lang",
+            "repetition_quality",
             "exact_dedup",
             "minhash_lsh",
             "ngram_jaccard",

@@ -4,7 +4,8 @@ The full post-extraction preparation chain a training-data pipeline
 runs, composed from this package's operators:
 
     1. extract           fused detect -> order -> correct -> render
-    2. quality/lang      token counts, quality ratios, language ID
+    2. quality/lang      token counts, quality ratios, language ID,
+                         Gopher-style repetition gate
     3. exact dedup       keep one doc per distinct content
     4. near-dup dedup    MinHash-LSH pairs -> connected components ->
                          keep cluster representatives
@@ -17,7 +18,8 @@ Cluster usage:
     spark-submit --master <cluster> \\
         --py-files /tmp/vlm_ocr_pipeline_spark.zip \\
         jobs/prepare_corpus.py --input <pages dir> --output <corpus dir> \\
-        [--synthesize 5000] [--tokens-per-shard 1000000] [--test-fraction 0.01]
+        [--input-format parquet|warc] [--synthesize 5000] \\
+        [--tokens-per-shard 1000000] [--test-fraction 0.01]
 
 Outputs under --output:
     corpus/        one row per kept doc: url, text, split, shard_id,
@@ -40,6 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="pages table (parquet) or raw .warc/.warc.gz files")
     ap.add_argument("--output", required=True)
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic pages into --input first")
@@ -60,7 +65,10 @@ def main() -> None:
         dedup_keep_representatives,
         neardup_clusters,
     )
-    from vlm_ocr_pipeline_spark.operators.textstats import lang_id, quality_scores
+    from vlm_ocr_pipeline_spark.operators.textstats import (
+        quality_lang,
+        repetition_quality,
+    )
     from vlm_ocr_pipeline_spark.plans.pipeline import extract
     from vlm_ocr_pipeline_spark.plans.session import get_spark
 
@@ -74,7 +82,12 @@ def main() -> None:
             args.input
         )
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from vlm_ocr_pipeline_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     report["pages_in"] = pages.count()
 
     # 1. extraction (plaintext is the training text).  doc_id keys on
@@ -94,14 +107,19 @@ def main() -> None:
         )
     ).cache()
 
-    # 2. quality + language gates
-    q = quality_scores(docs.select("doc_id", "text"))
-    keep_ids = q.filter(F.col("n_words") >= args.min_words).select("doc_id")
-    docs = docs.join(keep_ids, "doc_id")
-    langs = lang_id(docs.select("doc_id", "text")).select(
-        "doc_id", "predicted_lang"
+    # 2. quality + language + repetition gates (quality_lang = one
+    # projection for both signal families; repetition_quality drops
+    # machine-looped pages)
+    ql = quality_lang(docs.select("doc_id", "text")).select(
+        "doc_id", "n_words", "predicted_lang"
     )
-    docs = docs.join(langs, "doc_id").cache()
+    docs = docs.join(ql.filter(F.col("n_words") >= args.min_words), "doc_id")
+    rq = repetition_quality(docs.select("doc_id", "text"))
+    docs = (
+        docs.join(rq.filter(F.col("quality_pass")).select("doc_id"), "doc_id")
+        .drop("n_words")
+        .cache()
+    )
     report["after_quality_gate"] = docs.count()
 
     # 3. exact dedup

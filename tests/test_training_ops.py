@@ -427,3 +427,15 @@ def test_repetition_quality_flags_looped_content(spark):
     assert out.loc[3, "n_words"] == 1
     assert out.loc[3].isna()["top_bigram_ratio"]    # no bigrams -> null
     assert out.loc[3, "quality_pass"]               # distinct ratio 1.0
+
+
+def test_dedup_keep_representatives_strategies_agree(spark, docs):
+    a = text_dedup.dedup_keep_representatives(docs).toPandas()
+    b = text_dedup.dedup_keep_representatives(
+        docs, strategy="broadcast_ids"
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "text"]].to_numpy()))  # noqa: E731
+    assert key(a) == key(b)
+    assert sorted(b["doc_id"]) == [0, 2, 3]
+    with pytest.raises(ValueError):
+        text_dedup.dedup_keep_representatives(docs, strategy="nope")
