@@ -439,3 +439,27 @@ def test_dedup_keep_representatives_strategies_agree(spark, docs):
     assert sorted(b["doc_id"]) == [0, 2, 3]
     with pytest.raises(ValueError):
         text_dedup.dedup_keep_representatives(docs, strategy="nope")
+
+
+def test_compression_quality_separates_looped_text(spark):
+    rows = [
+        (0, "spam ham " * 200),
+        (1, "The committee reviewed seventeen distinct proposals during the "
+            "autumn session, rejecting most on procedural grounds while "
+            "advancing three novel funding mechanisms for coastal research."),
+        (2, ""),
+    ]
+    out = (
+        textstats.compression_quality(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).toPandas().set_index("doc_id")
+    )
+    assert out.loc[0, "compression_ratio"] < 0.1      # looped: tiny
+    assert out.loc[1, "compression_ratio"] > 0.5      # prose: large
+    assert out.loc[2, "n_bytes"] == 0
+    assert out.loc[2].isna()["compression_ratio"]     # guarded division
+    import zlib
+
+    assert out.loc[1, "n_compressed"] == len(
+        zlib.compress(rows[1][1].encode(), 6)
+    )

@@ -9,6 +9,8 @@ identical IEEE-754 value.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..textnorm import normalize_text as _norm, words as _words
@@ -200,6 +202,43 @@ def repetition_quality(
         "distinct_word_ratio",
         "top_bigram_ratio",
         passed.alias("quality_pass"),
+    )
+
+
+def compression_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap proxy
+    for templated / repetitive machine text (highly compressible) vs
+    natural prose.  zlib is not expressible in SQL, so this is an
+    Arrow-batched pandas UDF (vectorized, never per-row Python via
+    F.udf); correctness is pinned by construction tests instead of a
+    DuckDB oracle.
+
+    Output: (doc_id, n_bytes, n_compressed, compression_ratio) with
+    ratio = compressed/raw in (0, ~1.1]; lower = more repetitive.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` stringifies these hints and
+    # pandas_udf resolves them against the MODULE globals — hence the
+    # module-level pandas import above
+    @pandas_udf("long")
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t else 0
+        )
+
+    raw = F.octet_length(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        raw.cast("long").alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("n_compressed"),
+    ).withColumn(
+        "compression_ratio",
+        F.when(F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")),
     )
 
 
