@@ -88,7 +88,6 @@ def main() -> None:
         pages = read_warc(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
-    report["pages_in"] = pages.count()
 
     # 1. extraction (plaintext is the training text).  doc_id keys on
     # the FULL (url, warc_ts) identity — recrawls of one url are
@@ -96,16 +95,17 @@ def main() -> None:
     # would collide them into multiplicative self-joins downstream.
     # Cache BEFORE deriving the gate tables: keep_ids and langs both
     # branch off docs, and an uncached plan would re-run the mapInPandas
-    # extraction once per branch.
-    docs = (
-        extract(pages, renderer="plaintext")
-        .filter(F.col("status") == "complete")
-        .select(
-            "url",
-            F.xxhash64("url", "warc_ts").alias("doc_id"),
-            F.col("rendered").alias("text"),
-        )
-    ).cache()
+    # extraction once per branch.  pages_in is counted off the CACHED
+    # extraction output (one row per page, pre-status-filter), never
+    # off the raw pages frame — for WARC input a pages.count() would
+    # decompress and record-walk every archive a second time.
+    ext = extract(pages, renderer="plaintext").cache()
+    report["pages_in"] = ext.count()
+    docs = ext.filter(F.col("status") == "complete").select(
+        "url",
+        F.xxhash64("url", "warc_ts").alias("doc_id"),
+        F.col("rendered").alias("text"),
+    )
 
     # 2. quality + language + repetition gates (quality_lang = one
     # projection for both signal families; repetition_quality drops

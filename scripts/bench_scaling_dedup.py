@@ -32,12 +32,14 @@ OP_CORPUS = {
     "minhash_lsh_pairs": (N_DOCS, 90),
     "neardup_clusters": (N_DOCS, 90),
     "dedup_apply": (N_DOCS * 10, 400),
-    # dedup_apply's broadcast_ids strategy is NOT in the default list:
-    # its advantage (text never crosses the shuffle) only exists where
-    # a shuffle crosses a network — on one box both strategies stream
-    # the same bytes through the same memory bus and the broadcast
-    # variant just scans the parquet twice (measured 0.385 vs 0.523).
-    # Opt in with SCALING_DEDUP_OPS=dedup_apply_broadcast.
+    # dedup_apply's broadcast_ids strategy is NOT in the default list
+    # (OP_NAMES filters it): its advantage (text never crosses the
+    # shuffle) only exists where a shuffle crosses a network — on one
+    # box both strategies stream the same bytes through the same
+    # memory bus and the broadcast variant just scans the parquet
+    # twice (measured 0.385 vs 0.523).  Opt in with
+    # SCALING_DEDUP_OPS=dedup_apply_broadcast.
+    "dedup_apply_broadcast": (N_DOCS * 10, 400),
     # CONTROL: same scan + normalize + md5 with NO shuffle at all.  If
     # this scales like dedup_apply, the op's local-box ceiling is the
     # shared memory bus streaming 3.6 GB of strings, not the plan.
@@ -144,16 +146,18 @@ def main() -> None:
 
     import shutil
 
-    base = tempfile.mkdtemp(prefix="dedup_scaling_")
-    spark = get_spark(app="dedup-scaling-gen", master="local[32]")
-    paths = {}
-    for nd, wpd in sorted({OP_CORPUS[op] for op in OP_NAMES}):
-        paths[(nd, wpd)] = f"{base}/docs_{nd}_{wpd}"
-        _gen(spark, paths[(nd, wpd)], nd, wpd)
-    spark.stop()
     trials = int(os.environ.get("SCALING_DEDUP_TRIALS", "2"))
     only = os.environ.get("SCALING_DEDUP_OPS")
     ops = tuple(only.split(",")) if only else OP_NAMES
+    base = tempfile.mkdtemp(prefix="dedup_scaling_")
+    spark = get_spark(app="dedup-scaling-gen", master="local[32]")
+    paths = {}
+    # generate only the corpora the SELECTED ops read — a partial run
+    # must not spend minutes writing the 1.5M-doc table it never scans
+    for nd, wpd in sorted({OP_CORPUS[op] for op in ops}):
+        paths[(nd, wpd)] = f"{base}/docs_{nd}_{wpd}"
+        _gen(spark, paths[(nd, wpd)], nd, wpd)
+    spark.stop()
     results = {}
     try:
         for op in ops:

@@ -68,5 +68,5 @@ def test_surt_key_expression(spark):
     ).select(cdxj.surt_key(F.col("url")).alias("k"))
     ks = [r.k for r in d.collect()]
     assert ks[0] == "org,example,sub)/a/b?q=1"
-    assert ks[1] == "org,example)"
+    assert ks[1] == "org,example)/"   # bare host keys as the root page
     assert ks[2] == "org,example)/"

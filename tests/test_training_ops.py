@@ -463,3 +463,30 @@ def test_compression_quality_separates_looped_text(spark):
     assert out.loc[1, "n_compressed"] == len(
         zlib.compress(rows[1][1].encode(), 6)
     )
+
+
+def test_figure_crop_duplicate_alts_bind_in_order(spark):
+    """When alt text repeats (nav logo + real logo), each block must
+    bind its IN-ORDER tag: the cursor-anchored alt tier wins before
+    the anywhere fallback, so a suppressed earlier duplicate cannot
+    steal a later content figure's byte span."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from vlm_ocr_pipeline_spark.operators.figures import figure_crop_batch
+
+    html = (
+        "<html><body>"
+        '<nav><a href="/h">h</a><img src="trk.gif" alt="logo"></nav>'
+        "<main><article><h1>T</h1><p>Body text of the page here</p>"
+        '<figure><img src="a.png" alt="A"><figcaption>c</figcaption></figure>'
+        '<img src="real-logo.png" alt="logo">'
+        "</article></main></body></html>"
+    ).encode()
+    pdf = pd.DataFrame(
+        {"url": ["u"], "warc_ts": [dt.datetime(2026, 1, 1)], "html": [html]}
+    )
+    out = figure_crop_batch(pdf).set_index("description")
+    assert b'src="real-logo.png"' in bytes(out.loc["logo", "crop"])
+    assert b'src="a.png"' in bytes(out.loc["A", "crop"])

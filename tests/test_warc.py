@@ -74,3 +74,33 @@ def test_read_warc_to_extraction(spark, tmp_path):
     one = out.loc["https://a.example.org/1"]
     assert (one["rendered_plaintext"] ==
             "[TITLE] One\n\nFirst page body text for the warc test.").all()
+
+
+def test_warc_gzip_corrupt_member_yields_prefix():
+    """A corrupt gzip member mid-archive ends decompression at the
+    intact prefix instead of raising (one bad record must not kill an
+    ingestion task)."""
+    recs = _records()
+    data = warc.build_warc(recs[:1], gzip_members=True)
+    good2 = warc.build_warc(recs[2:], gzip_members=True)
+    corrupted = bytearray(good2)
+    corrupted[12] ^= 0xFF  # flip a byte inside the deflate stream
+    rows = warc.pages_from_warc_bytes(bytes(data) + bytes(corrupted))
+    assert [r["url"] for r in rows] == ["https://a.example.org/1"]
+
+
+def test_warc_gzip_many_members_linear():
+    """300 gzip members decompress member-by-member (the chunked path,
+    not a whole-tail slice per member) and all parse."""
+    import datetime as dt
+
+    recs = [
+        {"url": f"https://a.example.org/{i}", "warc_ts": TS + dt.timedelta(seconds=i),
+         "payload": b"<html><body><main><article><p>"
+         + (f"page {i} body text".encode() * 3)
+         + b"</p></article></main></body></html>"}
+        for i in range(300)
+    ]
+    rows = warc.pages_from_warc_bytes(warc.build_warc(recs, gzip_members=True))
+    assert len(rows) == 300
+    assert rows[299]["url"] == "https://a.example.org/299"

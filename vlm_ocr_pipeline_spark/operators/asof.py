@@ -22,21 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-_RESERVED = ("_k", "_t", "_side", "_r", "_l", "_m", "_b", "_slice")
 
-
-def _guard_columns(*frames: DataFrame) -> None:
-    """The operators below stage their plumbing in ``_RESERVED``
-    temporary columns; an input frame already carrying one of those
-    names would silently shadow the plumbing (wrong selects or
-    analysis errors), so collisions fail fast instead."""
+def _guard_columns(names: tuple[str, ...], *frames: DataFrame) -> None:
+    """Each operator stages its plumbing in temporary columns; an input
+    frame already carrying one of THAT OPERATOR'S names would silently
+    shadow the plumbing (wrong selects or analysis errors), so those
+    collisions fail fast.  Names other operators use stay legal."""
     for df in frames:
-        hit = sorted(set(df.columns) & set(_RESERVED))
+        hit = sorted(set(df.columns) & set(names))
         if hit:
             raise ValueError(
                 f"input columns {hit} collide with reserved internal "
-                f"names {_RESERVED}; rename them before the join"
+                f"names {names}; rename them before the join"
             )
+
+
+_ASOF_COLS = ("_k", "_t", "_side", "_r", "_l", "_m")
 
 
 def asof_join(
@@ -59,7 +60,7 @@ def asof_join(
     key and carries values across slice boundaries with a second
     (tiny, one-row-per-slice) window — same results, bounded tasks.
     """
-    _guard_columns(left, right)
+    _guard_columns(_ASOF_COLS, left, right)
     rt = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -108,7 +109,7 @@ def asof_join_sliced(
     over one row per (key, slice) — negligible data, and the only
     cross-slice communication.  Results are identical to asof_join.
     """
-    _guard_columns(left, right)
+    _guard_columns(_ASOF_COLS + ("_slice",), left, right)
     sl = lambda t: F.floor(F.unix_timestamp(F.col(t)) / int(slice_seconds))  # noqa: E731
     rt = right.select(
         F.col(on).alias("_k"),
@@ -183,7 +184,7 @@ def range_join(
 
     Output: matching (point columns + interval columns) pairs.
     """
-    _guard_columns(points, intervals)
+    _guard_columns(("_b", "_bs", "_be"), points, intervals)
     w = int(bucket_seconds)
     pb = points.withColumn(
         "_b", F.floor(F.unix_timestamp(F.col(time_col)) / w)

@@ -87,14 +87,18 @@ def figure_crop_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         for bi, b in img_positions:
             desc = b.get("description")
             pick = None
-            # alt-equality pass scans ALL unused matches (an alt match
-            # earlier than the positional cursor must still bind: the
-            # cursor orders only the alt-less fallback).  Only REAL alt
-            # texts participate — a None description matching a None
-            # alt is no signal and would bind a suppressed alt-less
-            # tracker pixel from anywhere in the page.
+            # alt-equality pass, two tiers: prefer an unused alt match
+            # AT/AFTER the cursor (blocks and tags share DOM order, so
+            # the in-order match is the right one when alts repeat —
+            # e.g. a suppressed nav logo and the real logo sharing alt
+            # text), then fall back to an unused alt match ANYWHERE
+            # (an alt match earlier than the cursor must still bind
+            # when nothing ahead matches).  Only REAL alt texts
+            # participate — a None description matching a None alt is
+            # no signal and would bind a suppressed alt-less tracker
+            # pixel from anywhere in the page.
             if desc is not None:
-                for j in range(len(matches)):
+                for j in list(range(cursor, len(matches))) + list(range(cursor)):
                     if not used[j] and alts[j] == desc:
                         pick = j
                         break

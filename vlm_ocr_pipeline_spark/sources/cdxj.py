@@ -10,7 +10,8 @@ Python), so index scans over billions of lines prune and push down
 like any other columnar read.
 
 The (surt, warc_ts) output orders captures exactly like the WARC
-source keys pages, so an index-driven fetch plan is a plain join.
+source keys pages; join index-derived tables on the index's own surt
+column (see :func:`surt_key` for its canonicalization caveats).
 """
 
 from __future__ import annotations
@@ -69,14 +70,26 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
 
 def surt_key(url: Column) -> Column:
     """SURT-style sort key for a url (scheme dropped, host reversed
-    with commas, path appended after ')').  JVM-side expressions only:
-    e.g. https://sub.example.org/a/b -> org,example,sub)/a/b"""
+    with commas and lowercased, port dropped, path appended after ')'
+    — a bare host keys as the root page ')/', matching index keys).
+    JVM-side expressions only:
+    e.g. https://sub.example.org/a/b -> org,example,sub)/a/b
+
+    This is the STRUCTURAL transform only, not full SURT/URL
+    canonicalization (no percent-encoding normalization, no
+    session-parameter stripping, no www folding) — index writers
+    canonicalize before surt-ing, so joining surt_key(raw_url) against
+    a real index's surt column can miss canonicalized captures.  Run
+    urls.canonical_url first, or join on the index's own surt on both
+    sides, when exactness matters.
+    """
     no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(no_scheme, r"^([^/]+)", 1))
     host = F.regexp_replace(host, r":\d+$", "")  # port
     path = F.regexp_extract(no_scheme, r"^[^/]+(/.*)?$", 1)
+    path = F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
     rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
-    return F.concat(rev, F.lit(")"), F.coalesce(path, F.lit("")))
+    return F.concat(rev, F.lit(")"), path)
 
 
 def fetch_plan(captures: DataFrame) -> DataFrame:
