@@ -594,10 +594,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), threshold=0.2, max_shingle_df=64
         )
 
-    def minhash_signatures(spark, sf):
-        from vlm_ocr_pipeline_spark.operators.text_dedup import minhash_signatures as op
+    def dup_spans(spark, sf):
+        """Substring-level dedup: maximal word spans covered by
+        3-grams shared across >= 2 documents (minhash_signatures'
+        former slot; its expressions are exercised inside minhash_lsh
+        and the hash-family consistency tests)."""
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            duplicate_ngram_spans,
+        )
 
-        return op(_t(spark, sf, "documents"), num_hashes=4)
+        return duplicate_ngram_spans(_t(spark, sf, "documents"), n=3, min_df=2)
 
     def minhash_lsh(spark, sf):
         from vlm_ocr_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
@@ -635,7 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_dedup"] = exact_dedup
     q["ngram_jaccard"] = ngram_jaccard
-    q["minhash_signatures"] = minhash_signatures
+    q["dup_spans"] = dup_spans
     q["minhash_lsh"] = minhash_lsh
     q["simhash"] = simhash
     q["simhash64_neardup"] = simhash64_neardup
@@ -1207,12 +1213,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
     """
-    mh_cols = ", ".join(
-        f"min(md5(shingle || ':{k}')) AS mh{k}" for k in range(4)
-    )
-    o["minhash_signatures"] = f"""
-        WITH {shingle_cte}
-        SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+    # dup_spans: positional 3-gram shingles -> df >= 2 grams -> per-doc
+    # gaps-and-islands merge; mirrors duplicate_ngram_spans exactly
+    # (DuckDB list slice w[i:j] is 1-based inclusive; 'p' is the
+    # 0-based start like Spark's posexplode)
+    _dsn = 3
+    o["dup_spans"] = f"""
+        WITH w AS (
+            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - {_dsn} + 1),
+                       i -> {{'p': i - 1,
+                              'g': array_to_string(w[i:i+{_dsn}-1], ' ')}}
+                   )) AS s
+            FROM w
+        ),
+        p2 AS (SELECT doc_id, s.p AS p, s.g AS g FROM pos),
+        hot AS (SELECT g FROM p2 GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2),
+        m AS (SELECT DISTINCT doc_id, p FROM p2 JOIN hot USING (g)),
+        isl AS (
+            SELECT doc_id, p,
+                   CASE WHEN max(p + {_dsn}) OVER (PARTITION BY doc_id
+                            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                        OR p > max(p + {_dsn}) OVER (PARTITION BY doc_id
+                            ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS ni
+            FROM m
+        ),
+        g2 AS (SELECT doc_id, p,
+                      sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+               FROM isl)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS start_word,
+               CAST(max(p) + {_dsn} AS BIGINT) AS end_word
+        FROM g2 GROUP BY doc_id, island
     """
     mh8 = ", ".join(f"min(md5(shingle || ':{k}')) AS mh{k}" for k in range(8))
     band_rows = " UNION ALL ".join(

@@ -86,6 +86,7 @@ def main() -> None:
             "exact_dedup",
             "minhash_lsh",
             "ngram_jaccard",
+            "dup_spans",
             "simhash",
             "simhash64_neardup",
             "neardup_clusters",

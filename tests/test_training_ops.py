@@ -490,3 +490,60 @@ def test_figure_crop_duplicate_alts_bind_in_order(spark):
     out = figure_crop_batch(pdf).set_index("description")
     assert b'src="real-logo.png"' in bytes(out.loc["logo", "crop"])
     assert b'src="a.png"' in bytes(out.loc["A", "crop"])
+
+
+def test_duplicate_ngram_spans_and_scrub(spark):
+    """A licence block shared by two docs is found as one maximal span
+    per doc (overlapping n-gram hits merged); unique text is untouched;
+    scrubbing removes exactly the span words."""
+    licence = "released under the example licence terms apply to all copies"
+    rows = [
+        (0, f"alpha beta gamma {licence} delta epsilon zeta eta theta"),
+        (1, f"iota kappa lambda mu {licence} nu xi omicron pi rho"),
+        (2, "entirely unique content with no shared passages at all here"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = text_dedup.duplicate_ngram_spans(d, n=4, min_df=2)
+    pdf = spans.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # one merged span per sharing doc, none for the unique doc
+    assert list(pdf["doc_id"]) == [0, 1]
+    lic_words = len(licence.split())
+    assert pdf.loc[0, "start_word"] == 3
+    assert pdf.loc[0, "end_word"] == 3 + lic_words
+    assert pdf.loc[1, "start_word"] == 4
+    assert pdf.loc[1, "end_word"] == 4 + lic_words
+    scrubbed = (
+        text_dedup.scrub_duplicate_spans(d, spans)
+        .toPandas().set_index("doc_id")
+    )
+    assert scrubbed.loc[0, "text"] == (
+        "alpha beta gamma delta epsilon zeta eta theta"
+    )
+    assert scrubbed.loc[0, "n_scrubbed_words"] == lic_words
+    assert scrubbed.loc[2, "text"] == rows[2][1]
+    assert scrubbed.loc[2, "n_scrubbed_words"] == 0
+
+
+def test_duplicate_ngram_spans_merges_disjoint_islands(spark):
+    """Two separate shared passages in one doc produce two spans, not
+    one over-merged range."""
+    a = "common passage one is right here okay"
+    b = "another shared block of words sits here"
+    rows = [
+        (0, f"{a} unique middle filler words between them {b}"),
+        (1, f"{a} totally different tail text"),
+        (2, f"prefix text goes first {b}"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = (
+        text_dedup.duplicate_ngram_spans(d, n=4, min_df=2)
+        .toPandas().sort_values(["doc_id", "start_word"]).reset_index(drop=True)
+    )
+    d0 = spans[spans.doc_id == 0]
+    assert len(d0) == 2
+    na, nb = len(a.split()), len(b.split())
+    assert (d0.iloc[0]["start_word"], d0.iloc[0]["end_word"]) == (0, na)
+    total0 = len(rows[0][1].split())
+    assert (d0.iloc[1]["start_word"], d0.iloc[1]["end_word"]) == (
+        total0 - nb, total0
+    )

@@ -448,6 +448,106 @@ def neardup_clusters(
     )
 
 
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level dedup (the Lee et al. 2021 'deduplicating
+    training data' family): per document, the maximal word spans
+    covered by n-grams that occur in >= ``min_df`` DISTINCT documents
+    — boilerplate sentences, licence blocks, and templated passages
+    that whole-document dedup never catches.
+
+    Plan shape: positional shingles (posexplode, 0-based start), one
+    shuffle to per-shingle distinct-doc counts, equi-join the hot
+    shingles back (no pair expansion — cost is linear in positions,
+    never quadratic in df), then classic gaps-and-islands inside each
+    document (running max of span ends over a per-doc window) to merge
+    overlapping [pos, pos+n) hits into maximal spans.
+
+    Output: (doc_id, start_word, end_word) with end exclusive, both
+    0-based word indexes into textnorm.words order.
+    """
+    sh = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_shingle_array(F.col(text_col), n)).alias("pos", "shingle"),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("shingle")
+    )
+    marked = sh.join(hot, "shingle").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runmax = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        runmax.isNull() | (F.col("pos") > runmax), 1
+    ).otherwise(0)
+    islands = marked.withColumn(
+        "_island", F.sum(new_island).over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("start_word"),
+            (F.max("pos") + n).cast("long").alias("end_word"),
+        )
+        .select("doc_id", "start_word", "end_word")
+    )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY substring dedup: rebuild each document's text with the
+    words inside :func:`duplicate_ngram_spans` ranges removed.  All
+    JVM-side: spans collect per doc (bounded — spans are maximal and
+    disjoint), word filtering is a higher-order array expression.
+
+    Output: (doc_id, text, n_scrubbed_words)."""
+    sp = spans.groupBy(F.col(id_col).alias("doc_id")).agg(
+        F.collect_list(F.struct("start_word", "end_word")).alias("_sp")
+    )
+    joined = docs.join(sp, docs[id_col] == sp["doc_id"], "left").select(
+        docs[id_col].alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.coalesce(
+            "_sp", F.array().cast("array<struct<start_word:long,end_word:long>>")
+        ).alias("_sp"),
+    )
+    indexed = F.transform(
+        _words(F.col("_t")),
+        lambda x, i: F.struct(x.alias("w"), i.cast("long").alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_sp"),
+            lambda r: (s["i"] >= r["start_word"]) & (s["i"] < r["end_word"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["w"])).alias("text"),
+        F.aggregate(
+            "_sp",
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + (r["end_word"] - r["start_word"]),
+        ).alias("n_scrubbed_words"),
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word unigrams as a BIGINT signature.
 
