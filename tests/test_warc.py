@@ -104,3 +104,28 @@ def test_warc_gzip_many_members_linear():
     rows = warc.pages_from_warc_bytes(warc.build_warc(recs, gzip_members=True))
     assert len(rows) == 300
     assert rows[299]["url"] == "https://a.example.org/299"
+
+
+def test_stream_warc_extract_incremental(spark, tmp_path):
+    """Archives landing in a directory are extracted exactly once per
+    file across restarts (streaming twin of the WARC batch path)."""
+    from vlm_ocr_pipeline_spark.streaming.ingest import stream_warc_extract
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    import os
+
+    os.makedirs(inp)
+    (tmp_path / "in" / "a.warc").write_bytes(warc.build_warc(_records()[:1]))
+    stream_warc_extract(spark, inp, outp, ckpt)
+    first = spark.read.parquet(outp)
+    assert first.count() == 1
+    # second archive lands; only IT is processed on the next drain
+    (tmp_path / "in" / "b.warc.gz").write_bytes(
+        warc.build_warc(_records()[2:], gzip_members=True)
+    )
+    stream_warc_extract(spark, inp, outp, ckpt)
+    out = spark.read.parquet(outp).toPandas()
+    assert len(out) == 2
+    assert set(out["url"]) == {
+        "https://a.example.org/1", "https://a.example.org/2",
+    }

@@ -117,3 +117,61 @@ def windowed_event_rates(
             "total_value",
         )
     )
+
+
+def stream_warc_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming WARC ingestion: new .warc/.warc.gz files landing in
+    ``input_dir`` are record-walked (sources/warc.py) and extracted
+    incrementally, exactly-once via the checkpoint — the end-to-end
+    crawl-tail pipeline (archives arrive -> pages -> main content)
+    with no batch scheduler.
+
+    binaryFile is a streaming-capable file source (one row per new
+    archive); the record walk and extraction are both stateless
+    mapInPandas stages, so the whole plan is streaming-legal with no
+    state store.
+    """
+    import pandas as pd
+
+    from ..sources.warc import pages_from_warc_bytes
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed (path, modificationTime, length, content)
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(input_dir)
+        .select("content")
+    )
+
+    def gen(batches):
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for b in batches:
+            rows = []
+            for data in b["content"]:
+                rows.extend(pages_from_warc_bytes(bytes(data)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    pages = files.mapInPandas(gen, schema=schema.PAGES_SCHEMA)
+    out = extract(pages, run_id="stream-warc")
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
