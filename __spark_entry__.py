@@ -67,15 +67,23 @@ def _collapsed_text():
 
 
 _ORACLE_COLLAPSE = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+
+# mirror of operators/urls.py::MULTI_PART_SUFFIXES for the DuckDB
+# oracle (imported, not copied — single source of truth)
+from vlm_ocr_pipeline_spark.operators.urls import MULTI_PART_SUFFIXES as _MPS
+
+_SUFFIX_SQL_LIST = ", ".join(f"'{s}'" for s in _MPS)
 _ORACLE_URL = "'https://docs.example.org/doc/' || doc_id"
 
 # messy url variants for the canonicalization query — identical SQL on
 # both engines (Spark F.expr and DuckDB both accept this CASE)
-_MESSY_URL_SQL = """CASE doc_id % 4
+_MESSY_URL_SQL = """CASE doc_id % 6
     WHEN 0 THEN 'HTTPS://Docs.Example.org:443/doc/' || doc_id
                 || '/?utm_source=x&b=2&a=1'
     WHEN 1 THEN 'https://docs.example.org/doc/' || doc_id || '?b=2&a=1&fbclid=zz'
     WHEN 2 THEN 'http://DOCS.example.org:80/doc/' || doc_id || '#section'
+    WHEN 3 THEN 'https://news.example.co.uk/doc/' || doc_id || '?ref=home'
+    WHEN 4 THEN 'http://cdn.media.example.com.au:80/doc/' || doc_id || '/'
     ELSE 'https://docs.example.org/doc/' || doc_id || '/'
 END"""
 
@@ -448,13 +456,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_lang"] = quality_lang
     q["repetition_quality"] = repetition_quality
     def url_canonical(spark, sf):
-        from vlm_ocr_pipeline_spark.operators.urls import canonical_url
+        from vlm_ocr_pipeline_spark.operators.urls import (
+            canonical_url,
+            registrable_domain,
+        )
 
         messy = _t(spark, sf, "documents").select(
             "doc_id", F.expr(_MESSY_URL_SQL).alias("url")
         )
         return messy.select(
-            "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
+            "doc_id",
+            "url",
+            canonical_url(F.col("url")).alias("canonical_url"),
+            registrable_domain(F.col("url")).alias("domain"),
         )
 
     def doc_chunks(spark, sf):
@@ -1176,8 +1190,25 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN len(params) > 0
                               THEN '?' || array_to_string(list_sort(params), '&')
                               ELSE '' END
-               END AS canonical_url
-        FROM norm
+               END AS canonical_url,
+               CASE WHEN hostnp = '' THEN ''
+                    WHEN regexp_matches(hostnp,
+                        '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                        THEN hostnp
+                    WHEN len(w) <= 2 THEN hostnp
+                    WHEN array_to_string(list_slice(w, len(w)-1, len(w)), '.')
+                         IN ({_SUFFIX_SQL_LIST})
+                        THEN array_to_string(list_slice(w, len(w)-2, len(w)), '.')
+                    ELSE array_to_string(list_slice(w, len(w)-1, len(w)), '.')
+               END AS domain
+        FROM (
+            SELECT *, string_split(hostnp, '.') AS w
+            FROM (
+                SELECT *, lower(regexp_extract(url,
+                           '^[A-Za-z]+://([^/?#:]+)', 1)) AS hostnp
+                FROM norm
+            )
+        )
     """
     o["exact_dedup"] = f"""
         SELECT md5({collapse}) AS content_hash,

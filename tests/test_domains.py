@@ -1,0 +1,68 @@
+"""Domain-level curation: registrable-domain extraction (eTLD+1
+heuristic), per-domain rollup, and the broadcast blocklist anti-join."""
+
+from pyspark.sql import functions as F
+
+from vlm_ocr_pipeline_spark.operators.urls import (
+    blocklist_filter,
+    domain_summary,
+    registrable_domain,
+)
+
+CASES = [
+    ("https://docs.example.org/x", "example.org"),
+    ("https://a.b.c.example.org/x", "example.org"),
+    ("HTTPS://News.Example.CO.UK/x?y=1", "example.co.uk"),
+    ("http://cdn.media.example.com.au:8080/x", "example.com.au"),
+    ("http://192.168.10.1:8080/x", "192.168.10.1"),
+    ("http://localhost/x", "localhost"),
+    ("http://co.uk/", "co.uk"),  # bare suffix host: n<=2 passthrough
+    ("no-scheme-at-all", ""),
+]
+
+
+def test_registrable_domain_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [
+        r["d"]
+        for r in df.select(registrable_domain(F.col("url")).alias("d")).collect()
+    ]
+    assert got == [d for _, d in CASES]
+
+
+def test_domain_summary_collapses_mirrors(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.org/p?utm_source=x",),
+            ("https://a.example.org/p",),  # same canonical resource
+            ("https://b.example.org/q",),
+            ("https://news.example.co.uk/r",),
+        ],
+        "url string",
+    )
+    rows = {r["domain"]: r for r in domain_summary(df).collect()}
+    assert rows["example.org"]["n_pages"] == 3
+    assert rows["example.org"]["n_resources"] == 2
+    assert rows["example.co.uk"]["n_pages"] == 1
+
+
+def test_blocklist_filter_drops_and_broadcasts(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://spam.example.com/a", 1),
+            ("https://sub.spam.example.com/b", 2),  # same eTLD+1
+            ("https://ok.example.org/c", 3),
+        ],
+        "url string, id int",
+    )
+    kept = blocklist_filter(df, ["Example.COM"])  # case-insensitive
+    assert sorted(r["id"] for r in kept.collect()) == [3]
+    assert kept.columns == ["url", "id"]  # helper column dropped
+
+    # DataFrame-typed blocklist behaves the same
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    assert sorted(r["id"] for r in blocklist_filter(df, bl).collect()) == [3]
+
+    plan = blocklist_filter(df, ["example.com"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -71,3 +71,85 @@ def url_dup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.min("url").alias("representative"), F.count("*").alias("n_variants"))
     )
+
+
+# ---- domain-level curation ------------------------------------------
+# Crawl corpora are curated per REGISTRABLE domain (eTLD+1): quality
+# priors, crawl budgets and blocklists all key on it, not on the full
+# host.  The extractor below is a deliberate heuristic subset of the
+# public-suffix list — the common ccTLD second-level zones — built from
+# JVM string/array expressions so the DuckDB oracle reproduces it.
+
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
+    "co.in", "co.nz", "co.kr", "co.za",
+    "com.sg", "com.hk", "com.tw",
+)
+
+
+def registrable_domain(url: Column) -> Column:
+    """eTLD+1 of a url: the last two host labels, or the last three
+    when the trailing two form a known multi-part public suffix
+    (``example.co.uk``, not ``co.uk``).  Ports are excluded from the
+    host capture; IPv4 literals pass through whole; schemeless rows
+    yield '' (unknown — callers group or filter them explicitly)."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#:]+)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return (
+        F.when(host == "", "")
+        .when(is_ip, host)
+        .when(n <= 2, host)
+        .when(last2.isin(*MULTI_PART_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_summary(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain corpus composition: page count and
+    distinct canonical resources (mirror-collapsed).  One hash-agg
+    shuffle on the domain key; the canonical-distinct is a partial
+    count_distinct, not a pre-distinct exchange."""
+    return (
+        pages.select(
+            registrable_domain(F.col(url_col)).alias("domain"),
+            canonical_url(F.col(url_col)).alias("canon"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("canon").cast("long").alias("n_resources"),
+        )
+    )
+
+
+def blocklist_filter(
+    pages: DataFrame, blocked_domains: list[str] | DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose registrable domain is on a blocklist.
+
+    The blocklist joins as a BROADCAST left-anti join (plan-gated in
+    tests/test_domains.py): even a 10^6-domain list is tens of MB —
+    always broadcastable — so the corpus side never shuffles.  Accepts
+    a Python list (driver-side lists come from config files) or a
+    single-column DataFrame named ``domain`` (blocklists maintained as
+    tables)."""
+    spark = pages.sparkSession
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.select(F.col("domain"))
+    else:
+        bl = spark.createDataFrame(
+            [(d.lower(),) for d in blocked_domains], "domain string"
+        )
+    tagged = pages.withColumn("_dom", registrable_domain(F.col(url_col)))
+    return (
+        tagged.join(
+            F.broadcast(bl), tagged["_dom"] == bl["domain"], "left_anti"
+        ).drop("_dom")
+    )
