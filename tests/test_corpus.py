@@ -343,3 +343,17 @@ def test_pack_token_shards_exact_prefix_sum(spark):
         assert out.loc[i, "n_tokens"] == n
         assert out.loc[i, "shard_id"] == running // 100, i
         running += n
+
+
+def test_shuffle_corpus_deterministic_total_order(spark, docs):
+    a = [r["doc_id"] for r in corpus.shuffle_corpus(docs).collect()]
+    b = [r["doc_id"] for r in corpus.shuffle_corpus(docs).collect()]
+    assert a == b  # reproducible epoch order
+    assert sorted(a) == list(range(200))  # a permutation, nothing lost
+    assert a != sorted(a)  # actually shuffled away from id order
+    c = [r["doc_id"] for r in corpus.shuffle_corpus(docs, seed="epoch2").collect()]
+    assert c != a and sorted(c) == sorted(a)  # independent epoch
+    # scale shape: a sampled range exchange + sort, never a single task
+    plan = corpus.shuffle_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan and "Sort [" in plan
+    assert "SinglePartition" not in plan

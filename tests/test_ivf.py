@@ -99,3 +99,26 @@ def test_ivf_index_scan_prunes_partitions(index, centroids, emb):
     # filter (directory pruning), not a post-scan row filter
     assert "PartitionFilters: [cell" in plan
     assert " IN (" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_cluster_balanced_sample_caps_every_cell(emb, centroids):
+    from vlm_ocr_pipeline_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    kept = cluster_balanced_sample(emb, centroids, per_cluster=5)
+    rows = kept.collect()
+    per_cell = {}
+    for r in rows:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert all(v <= 5 for v in per_cell.values())
+    assert len(per_cell) == 16  # every cell contributes (500 vectors)
+    # deterministic selection
+    again = {(r["vec_id"], r["cell"]) for r in
+             cluster_balanced_sample(emb, centroids, per_cluster=5).collect()}
+    assert {(r["vec_id"], r["cell"]) for r in rows} == again
+    # kept ids really belong to the cell they claim
+    from vlm_ocr_pipeline_spark.operators.similarity import assign_ivf_cells
+
+    truth = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb, centroids).collect()}
+    assert all(truth[r["vec_id"]] == r["cell"] for r in rows)

@@ -255,3 +255,19 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def shuffle_corpus(
+    docs: DataFrame, seed: str = "7", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle for training order: total sort by
+    ``xxhash64(id, seed)`` (ties broken by id).  Training jobs need the
+    corpus in a random-looking but REPRODUCIBLE order — never rand()
+    (retries would resample) and never a driver-side permutation.
+
+    Scale shape: ``orderBy`` is Spark's sampled range-exchange + local
+    sort — the same mechanism that sorts 100 TB in TeraSort; no single
+    task ever sees more than its key range.  Changing ``seed`` gives an
+    independent epoch order."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    return docs.orderBy(key.asc(), F.col(id_col).asc())

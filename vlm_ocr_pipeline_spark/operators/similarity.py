@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -339,3 +340,33 @@ def ivf_search(
     cells = ivf_probe_cells(centroids, query, nprobe)
     cand = index.filter(F.col(cell_col).isin(cells))
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    per_cluster: int,
+    seed: str = "7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic-balanced subsampling (the SemDeDup/cluster-stratified
+    curation step): assign every vector to its IVF cell, keep at most
+    ``per_cluster`` per cell chosen by deterministic id hash.  Caps the
+    dominant topic's share of a training mix without a global sort —
+    one hash-partition window per cell.
+
+    Output: (vec_id, cell) of the kept rows."""
+    assigned = assign_ivf_cells(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+        centroids,
+        vec_col,
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .select("vec_id", "cell")
+    )

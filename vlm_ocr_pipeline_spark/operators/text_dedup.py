@@ -470,6 +470,13 @@ def duplicate_ngram_spans(
 
     Output: (doc_id, start_word, end_word) with end exclusive, both
     0-based word indexes into textnorm.words order.
+
+    Plan choice, measured: a one-shuffle variant (collect_list the
+    per-shingle postings, explode back) runs ~15% faster at sf0.1
+    (1.44 vs 1.68 s steady-state) but materializes ONE ROW per
+    shingle — a boilerplate shingle occurring 10^9 times at corpus
+    scale becomes a multi-GB row.  The equi-join shape spreads hot
+    shingles across tasks, so it is kept despite the small local cost.
     """
     sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
