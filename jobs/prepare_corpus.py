@@ -3,14 +3,20 @@
 The full post-extraction preparation chain a training-data pipeline
 runs, composed from this package's operators:
 
+    0. blocklist         drop blocked registrable domains
+                         (broadcast anti-join, pre-extraction)
     1. extract           fused detect -> order -> correct -> render
     2. quality/lang      token counts, quality ratios, language ID,
                          Gopher-style repetition gate
     3. exact dedup       keep one doc per distinct content
+    3b. span scrub       optional substring-level dedup (remove word
+                         spans covered by cross-doc duplicate n-grams)
     4. near-dup dedup    MinHash-LSH pairs -> connected components ->
                          keep cluster representatives
     5. split             deterministic train/test assignment
     6. shard packing     fixed-token-budget shards for the tokenizer
+    7. epoch shuffle     optional deterministic training order
+                         (total sort by xxhash64(doc_id, seed))
 
 Cluster usage:
 
@@ -19,7 +25,9 @@ Cluster usage:
         --py-files /tmp/vlm_ocr_pipeline_spark.zip \\
         jobs/prepare_corpus.py --input <pages dir> --output <corpus dir> \\
         [--input-format parquet|warc] [--synthesize 5000] \\
-        [--tokens-per-shard 1000000] [--test-fraction 0.01]
+        [--tokens-per-shard 1000000] [--test-fraction 0.01] \\
+        [--blocklist spam.example.com,ads.example.net] \\
+        [--scrub-span-ngram 8] [--epoch-seed epoch1]
 
 Outputs under --output:
     corpus/        one row per kept doc: url, text, split, shard_id,
@@ -53,6 +61,14 @@ def main() -> None:
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--lsh-hashes", type=int, default=8)
     ap.add_argument("--lsh-bands", type=int, default=4)
+    ap.add_argument("--blocklist", default="",
+                    help="comma-separated registrable domains to drop")
+    ap.add_argument("--scrub-span-ngram", type=int, default=0,
+                    help="if > 0, remove word spans covered by n-grams "
+                         "shared across docs (substring-level dedup)")
+    ap.add_argument("--epoch-seed", default="",
+                    help="if set, write the corpus in deterministic "
+                         "shuffled order keyed by this seed")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -88,6 +104,16 @@ def main() -> None:
         pages = read_warc(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
+
+    # 0. domain blocklist BEFORE extraction — dropping a page here is
+    # a string expression + broadcast anti-join; dropping it after
+    # costs a full parse
+    if args.blocklist:
+        from vlm_ocr_pipeline_spark.operators.urls import blocklist_filter
+
+        domains = [d.strip() for d in args.blocklist.split(",") if d.strip()]
+        pages = blocklist_filter(pages, domains)
+        report["blocklist_domains"] = len(domains)
 
     # 1. extraction (plaintext is the training text).  doc_id keys on
     # the FULL (url, warc_ts) identity — recrawls of one url are
@@ -126,6 +152,26 @@ def main() -> None:
     docs = dedup_keep_representatives(docs).cache()
     report["after_exact_dedup"] = docs.count()
 
+    # 3b. optional substring-level dedup: scrub cross-doc duplicate
+    # n-gram spans (licence blocks, boilerplate sentences), then drop
+    # docs the scrub emptied below the min-words bar
+    if args.scrub_span_ngram > 0:
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            duplicate_ngram_spans,
+            scrub_duplicate_spans,
+        )
+
+        spans = duplicate_ngram_spans(docs, n=args.scrub_span_ngram)
+        scrubbed = scrub_duplicate_spans(docs, spans)
+        docs = (
+            docs.select("doc_id", "url")
+            .join(scrubbed, "doc_id")
+            .filter(F.length(F.trim("text")) > 0)
+            .drop("n_scrubbed_words")
+            .cache()
+        )
+        report["after_span_scrub"] = docs.count()
+
     # 4. near-dup dedup: keep each LSH cluster's representative
     clusters = neardup_clusters(
         docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
@@ -140,6 +186,12 @@ def main() -> None:
     split = deterministic_split(docs, args.test_fraction)
     shards = pack_token_shards(docs, args.tokens_per_shard)
     corpus = docs.join(split, "doc_id").join(shards, "doc_id")
+
+    # 7. optional deterministic epoch order for the tokenizer reader
+    if args.epoch_seed:
+        from vlm_ocr_pipeline_spark.operators.corpus import shuffle_corpus
+
+        corpus = shuffle_corpus(corpus, seed=args.epoch_seed)
 
     out = os.path.join(args.output, "corpus")
     corpus.write.mode("overwrite").parquet(out)

@@ -202,6 +202,10 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
             "--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
             "--synthesize", "300", "--tokens-per-shard", "5000",
             "--test-fraction", "0.1",
+            # exercise the optional stages: a non-matching blocklist,
+            # substring-level span scrub, deterministic epoch order
+            "--blocklist", "blocked.example.net",
+            "--scrub-span-ngram", "8", "--epoch-seed", "e1",
         ],
         capture_output=True, text=True, timeout=420,
         env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
@@ -211,9 +215,11 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
         [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert report["pages_in"] == 300
+    assert report["blocklist_domains"] == 1
     assert (
         report["pages_in"] >= report["after_quality_gate"]
-        >= report["after_exact_dedup"] >= report["after_neardup_dedup"]
+        >= report["after_exact_dedup"] >= report["after_span_scrub"]
+        >= report["after_neardup_dedup"]
         == report["corpus_rows"] > 0
     )
     assert 0 < report["n_test"] < report["corpus_rows"]
