@@ -31,6 +31,10 @@ N_DOCS = int(os.environ.get("SCALING_DEDUP_DOCS", "150000"))
 OP_CORPUS = {
     "minhash_lsh_pairs": (N_DOCS, 90),
     "neardup_clusters": (N_DOCS, 90),
+    # substring-level dedup: positional shingles -> hot-shingle df agg
+    # -> equi-join back -> per-doc island window (three shuffles); the
+    # planted near-dup copies give it real duplicate spans to find
+    "dup_spans": (N_DOCS, 90),
     "dedup_apply": (N_DOCS * 10, 400),
     # dedup_apply's broadcast_ids strategy is NOT in the default list
     # (OP_NAMES filters it): its advantage (text never crosses the
@@ -55,6 +59,8 @@ def _build(op: str, docs):
         return td.minhash_lsh_pairs(docs, num_hashes=8, bands=4)
     if op == "neardup_clusters":
         return td.neardup_clusters(docs, num_hashes=8, bands=4)
+    if op == "dup_spans":
+        return td.duplicate_ngram_spans(docs, n=8, min_df=2)
     if op == "dedup_apply":
         return td.dedup_keep_representatives(docs)
     if op == "dedup_apply_broadcast":

@@ -264,3 +264,20 @@ def test_range_join_is_equi_join_on_bucket(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dup_spans_exchanges_hashed_shingles_not_strings(spark):
+    """duplicate_ngram_spans must shuffle 64-bit shingle hashes, never
+    the shingle strings (the string exchange measured 0.541 scaling
+    efficiency vs 0.820 hashed — the bandwidth ceiling at scale)."""
+    from vlm_ocr_pipeline_spark.operators.text_dedup import (
+        duplicate_ngram_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_ngram_spans(docs, n=3, min_df=2))
+    assert "xxhash64" in plan
+    # every exchange keys on the hash or the doc id — none on the string
+    for frag in plan.split("hashpartitioning(")[1:]:
+        key = frag.split("#")[0]
+        assert key in ("h", "doc_id"), f"string-keyed exchange on {key!r}"

@@ -472,23 +472,32 @@ def duplicate_ngram_spans(
     0-based word indexes into textnorm.words order.
 
     Plan choice, measured: a one-shuffle variant (collect_list the
-    per-shingle postings, explode back) runs ~15% faster at sf0.1
-    (1.44 vs 1.68 s steady-state) but materializes ONE ROW per
-    shingle — a boilerplate shingle occurring 10^9 times at corpus
-    scale becomes a multi-GB row.  The equi-join shape spreads hot
-    shingles across tasks, so it is kept despite the small local cost.
+    per-shingle postings, explode back) ran ~15% faster at sf0.1
+    before shingle hashing (1.44 vs 1.68 s steady-state) but
+    materializes ONE ROW per shingle — a boilerplate shingle occurring
+    10^9 times at corpus scale becomes a multi-GB row.  The equi-join
+    shape spreads hot shingles across tasks, so it is kept; hashing
+    the shingles (below) recovered the exchange cost anyway.
     """
+    # the shingle STRING never reaches the output (only positions do),
+    # so hash it to a 64-bit int before anything shuffles: both the
+    # df-agg and the join-back then exchange (long, long, long) rows
+    # instead of ~90-byte strings — measured on the 150k-doc scaling
+    # harness: 16-core 54.9 -> 37.0 s and scaling efficiency 0.541 ->
+    # 0.82 (the string exchange was the bandwidth ceiling; a 2^-64
+    # collision could mark one spurious span — acceptable for a dedup
+    # heuristic).
     sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_shingle_array(F.col(text_col), n)).alias("pos", "shingle"),
-    )
+    ).select("doc_id", "pos", F.xxhash64("shingle").alias("h"))
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("_df"))
         .filter(F.col("_df") >= min_df)
-        .select("shingle")
+        .select("h")
     )
-    marked = sh.join(hot, "shingle").select("doc_id", "pos")
+    marked = sh.join(hot, "h").select("doc_id", "pos")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
