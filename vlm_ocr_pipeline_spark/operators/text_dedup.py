@@ -91,11 +91,16 @@ def ngram_jaccard_pairs(
     (sizes, pairs) consume it; sessions running many dedups should
     spark.catalog.clearCache() between tables.
     """
+    # the shingle string is only ever a GROUP KEY (pairs and sizes are
+    # all that leave this stage), so hash it to xxhash64 before the one
+    # exchange — (long, long) rows instead of ~90-byte strings, the
+    # same bandwidth fix measured at 0.541 -> 0.820 scaling efficiency
+    # on duplicate_ngram_spans below
     exploded = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
-    )
-    lists = exploded.groupBy("shingle").agg(
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    lists = exploded.groupBy("h").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
     )
     if max_shingle_df is not None:
