@@ -195,20 +195,23 @@ def _lsh_buckets(
     n: int,
     hash_family: str,
 ) -> DataFrame:
-    """(doc_id, band, key) LSH bucket membership — the shared front-end
-    of pair generation and cluster-label initialization.  All docs in
-    one (band, key) bucket are pairwise candidates (a clique)."""
+    """(doc_id, bk) LSH bucket membership — the shared front-end of
+    pair generation and cluster-label initialization.  All docs in one
+    bucket are pairwise candidates (a clique).
+
+    ``bk`` is xxhash64(band_index, band_key): the (band, concat) pair
+    is only ever a join/group key, so it ships as ONE long instead of
+    an int plus a rows_per_band x 32-char string — the same exchange-
+    bandwidth fix as the shingle hashing in ngram/span dedup (a 2^-64
+    bucket collision merges two cliques; harmless for candidate
+    generation, which over-generates by design)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, id_col, text_col, n, hash_family)
     band_cols = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key"))
-        )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        band_cols.append(F.xxhash64(F.lit(b), F.concat_ws("|", *cols)))
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
 
 
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:
@@ -216,7 +219,7 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
-        a.join(b, ["band", "key"])
+        a.join(b, ["bk"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands_shared"))
@@ -383,9 +386,9 @@ def neardup_clusters(
         .toDF("src", "dst")
         .localCheckpoint(eager=False)
     )
-    bmin = buckets.groupBy("band", "key").agg(F.min("doc_id").alias("_bmin"))
+    bmin = buckets.groupBy("bk").agg(F.min("doc_id").alias("_bmin"))
     init = (
-        buckets.join(bmin, ["band", "key"])
+        buckets.join(bmin, ["bk"])
         .groupBy("doc_id")
         .agg(F.min("_bmin").alias("_init"))
     )
