@@ -66,3 +66,11 @@ def test_blocklist_filter_drops_and_broadcasts(spark):
     plan = blocklist_filter(df, ["example.com"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_blocklist_filter_reserved_column_guard(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("https://a.example.org/x", "y")], "url string, _dom string")
+    with _pytest.raises(ValueError, match="_dom"):
+        blocklist_filter(df, ["example.org"])

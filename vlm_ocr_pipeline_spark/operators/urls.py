@@ -140,6 +140,11 @@ def blocklist_filter(
     a Python list (driver-side lists come from config files) or a
     single-column DataFrame named ``domain`` (blocklists maintained as
     tables)."""
+    if "_dom" in pages.columns:  # same guard pattern as asof.py
+        raise ValueError(
+            "blocklist_filter reserves the temporary column name '_dom'; "
+            "rename it in the input first"
+        )
     spark = pages.sparkSession
     if isinstance(blocked_domains, DataFrame):
         bl = blocked_domains.select(F.col("domain"))
