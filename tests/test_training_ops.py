@@ -547,3 +547,50 @@ def test_duplicate_ngram_spans_merges_disjoint_islands(spark):
     assert (d0.iloc[1]["start_word"], d0.iloc[1]["end_word"]) == (
         total0 - nb, total0
     )
+
+
+def test_char_lm_perplexity_separates_prose_from_noise(spark):
+    """CCNet-style filter sanity: docs drawn from the corpus's own
+    distribution score fewer bits/byte than random-byte noise, and the
+    UDF score matches a driver-side numpy rescore exactly."""
+    import random
+
+    import numpy as np
+
+    from vlm_ocr_pipeline_spark.operators.textstats import (
+        lm_perplexity,
+        train_char_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = train_char_lm(docs, sample_size=256)
+    again = train_char_lm(docs, sample_size=256)
+    assert np.array_equal(lm, again)  # deterministic
+    assert np.allclose(np.exp(lm).sum(axis=1), 1.0)  # rows are P(.|b)
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(500))
+    scored = {
+        r["doc_id"]: r
+        for r in lm_perplexity(
+            docs.select("doc_id", "text").limit(20).union(
+                spark.createDataFrame(
+                    [(999_999, noise)], "doc_id long, text string"
+                ).select("doc_id", "text")
+            ),
+            lm,
+        ).collect()
+    }
+    corpus_bpb = [
+        v["bits_per_byte"] for k, v in scored.items() if k != 999_999
+    ]
+    assert max(corpus_bpb) < scored[999_999]["bits_per_byte"]
+
+    # UDF == driver numpy on one row
+    row = docs.orderBy("doc_id").first()
+    b = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8)
+    expect = float(-(lm / np.log(2.0))[b[:-1], b[1:]].mean())
+    got = lm_perplexity(
+        docs.filter(F.col("doc_id") == row["doc_id"]), lm
+    ).first()["bits_per_byte"]
+    assert abs(got - expect) < 1e-12

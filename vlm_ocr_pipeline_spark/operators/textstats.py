@@ -253,3 +253,82 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         h.alias("fingerprint"),
         F.substring(h, 1, 16).alias("fingerprint16"),
     )
+
+
+# ---- character-LM perplexity (the CCNet-style quality signal) -------
+
+
+def train_char_lm(
+    docs: DataFrame,
+    sample_size: int = 2048,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train a byte-bigram language model on a bounded deterministic
+    sample of the corpus (the ``sample_size`` docs with the lowest
+    xxhash64(id) — same scale contract as the IVF trainer: training is
+    always on a sample, scoring is distributed).
+
+    Returns a (256, 256) float64 matrix of add-one-smoothed log
+    P(next_byte | byte) over UTF-8 bytes.  A byte bigram model is the
+    cheapest member of the CCNet perplexity-filter family: real prose
+    in the corpus's languages scores low perplexity, while random
+    bytes, wrong-alphabet text, and encoding garbage score high.
+
+    ``seed`` is reserved for forward-compatible sampling variants; the
+    hash sample itself is deterministic.
+    """
+    import numpy as np
+
+    rows = (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .withColumn("_h", F.xxhash64(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(sample_size)
+        .collect()
+    )
+    counts = np.ones((256, 256), dtype=np.float64)  # add-one smoothing
+    for r in rows:
+        b = np.frombuffer((r["_t"] or "").encode("utf-8"), dtype=np.uint8)
+        if len(b) >= 2:
+            np.add.at(counts, (b[:-1], b[1:]), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    log_probs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against a :func:`train_char_lm` model.
+
+    Output: (doc_id, n_scored_bytes, bits_per_byte) where
+    bits_per_byte = -mean log2 P(b_i | b_{i-1}); lower = more like the
+    training sample.  Arrow-batched pandas UDF, numpy-vectorized per
+    document (one fancy-index + mean over the byte array — no Python
+    per-byte work)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    lp = log_probs / np.log(2.0)  # bits
+
+    @pandas_udf("double")
+    def _bpb(texts: pd.Series) -> pd.Series:
+        def score(t):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                return None
+            return float(-lp[b[:-1], b[1:]].mean())
+
+        return texts.map(score)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.octet_length(F.col(text_col)) - 1, F.lit(0))
+        .cast("long")
+        .alias("n_scored_bytes"),
+        _bpb(F.col(text_col)).alias("bits_per_byte"),
+    )
