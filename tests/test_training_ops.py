@@ -594,3 +594,27 @@ def test_char_lm_perplexity_separates_prose_from_noise(spark):
         docs.filter(F.col("doc_id") == row["doc_id"]), lm
     ).first()["bits_per_byte"]
     assert abs(got - expect) < 1e-12
+
+
+def test_decontaminate_flags_only_overlapping_train_docs(spark):
+    from vlm_ocr_pipeline_spark.operators.text_dedup import decontaminate
+
+    words = lambda a, z: " ".join(f"w{i}" for i in range(a, z))
+    train = spark.createDataFrame(
+        [
+            (1, words(0, 30)),          # contains test doc's 0..20 grams
+            (2, words(100, 130)),       # disjoint vocabulary
+            (3, words(15, 40)),         # shares only 6 words (15..20) — shorter than a 13-gram
+            (4, words(0, 14)),          # 14 words: two 13-gram windows, both inside test
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(900, words(0, 21))], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, test, n=13).collect()}
+    assert set(got) == {1, 4}
+    # doc 1 shares every 13-gram window inside w0..w20 -> 21-13+1 = 9
+    assert got[1] == 9
+    assert got[4] == 2
+    # plan: the test-gram side must broadcast; the train side never exchanges
+    plan = decontaminate(train, test, n=13)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

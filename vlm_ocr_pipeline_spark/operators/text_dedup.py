@@ -674,3 +674,39 @@ def simhash64_neardup_pairs(
         .distinct()
     )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C recipe): flag
+    every training document sharing at least one word ``n``-gram with a
+    held-out evaluation set, so it can be dropped before training.
+
+    Plan shape: both sides shingle to xxhash64 longs (the shingle
+    string is again only a join key); the test side dedups to distinct
+    gram hashes — a SMALL set (benchmarks are tiny next to a corpus) —
+    and broadcast-joins against the train grams, so the 100 TB train
+    side exchanges only its HITS: scan -> explode -> broadcast join ->
+    one doc_id shuffle over the (tiny) contaminated subset.
+
+    Output: (doc_id, n_hits) of CONTAMINATED train docs, n_hits =
+    distinct shared gram hashes per doc.
+    """
+    def grams(df):
+        return _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingle_array(F.col(text_col), n)).alias("s"),
+        ).select("doc_id", F.xxhash64("s").alias("g"))
+
+    test_grams = grams(test).select("g").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(test_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("long").alias("n_hits"))
+    )
