@@ -7,7 +7,10 @@ runs, composed from this package's operators:
                          (broadcast anti-join, pre-extraction)
     1. extract           fused detect -> order -> correct -> render
     2. quality/lang      token counts, quality ratios, language ID,
-                         Gopher-style repetition gate
+                         Gopher-style repetition gate, optional
+                         char-LM perplexity gate (CCNet-style)
+    2b. decontaminate    optional: drop docs sharing any 13-gram with
+                         a held-out evaluation set
     3. exact dedup       keep one doc per distinct content
     3b. span scrub       optional substring-level dedup (remove word
                          spans covered by cross-doc duplicate n-grams)
@@ -69,6 +72,13 @@ def main() -> None:
     ap.add_argument("--epoch-seed", default="",
                     help="if set, write the corpus in deterministic "
                          "shuffled order keyed by this seed")
+    ap.add_argument("--max-bits-per-byte", type=float, default=0.0,
+                    help="if > 0, drop docs scoring above this char-LM "
+                         "perplexity (bits/byte; model trained on a "
+                         "deterministic sample of this corpus)")
+    ap.add_argument("--decontaminate-against", default="",
+                    help="parquet of (doc_id, text) eval docs; train "
+                         "docs sharing any 13-gram are dropped")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -147,6 +157,32 @@ def main() -> None:
         .cache()
     )
     report["after_quality_gate"] = docs.count()
+
+    # 2-continued: optional CCNet-style perplexity gate — the bigram
+    # LM trains on a bounded deterministic sample of THIS corpus, so
+    # the gate drops distribution outliers (wrong alphabet, encoding
+    # garbage) rather than enforcing an external notion of quality
+    if args.max_bits_per_byte > 0:
+        from vlm_ocr_pipeline_spark.operators.textstats import (
+            lm_perplexity,
+            train_char_lm,
+        )
+
+        lm = train_char_lm(docs)
+        keep = lm_perplexity(docs, lm).filter(
+            F.col("bits_per_byte") <= args.max_bits_per_byte
+        )
+        docs = docs.join(keep.select("doc_id"), "doc_id").cache()
+        report["after_perplexity_gate"] = docs.count()
+
+    # 2b. optional benchmark decontamination
+    if args.decontaminate_against:
+        from vlm_ocr_pipeline_spark.operators.text_dedup import decontaminate
+
+        eval_docs = spark.read.parquet(args.decontaminate_against)
+        hits = decontaminate(docs, eval_docs).select("doc_id")
+        docs = docs.join(hits, "doc_id", "left_anti").cache()
+        report["after_decontamination"] = docs.count()
 
     # 3. exact dedup
     docs = dedup_keep_representatives(docs).cache()

@@ -196,6 +196,12 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import pandas as pd
+
+    eval_path = str(tmp_path / "eval.parquet")
+    pd.DataFrame(
+        {"doc_id": [1], "text": [" ".join("zq" * 3 for _ in range(20))]}
+    ).to_parquet(eval_path)
     out = subprocess.run(
         [
             sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
@@ -203,9 +209,12 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
             "--synthesize", "300", "--tokens-per-shard", "5000",
             "--test-fraction", "0.1",
             # exercise the optional stages: a non-matching blocklist,
-            # substring-level span scrub, deterministic epoch order
+            # substring-level span scrub, deterministic epoch order,
+            # a generous perplexity ceiling, disjoint-eval decontamination
             "--blocklist", "blocked.example.net",
             "--scrub-span-ngram", "8", "--epoch-seed", "e1",
+            "--max-bits-per-byte", "7.9",
+            "--decontaminate-against", eval_path,
         ],
         capture_output=True, text=True, timeout=420,
         env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
@@ -218,9 +227,13 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
     assert report["blocklist_domains"] == 1
     assert (
         report["pages_in"] >= report["after_quality_gate"]
+        >= report["after_perplexity_gate"]
+        >= report["after_decontamination"]
         >= report["after_exact_dedup"] >= report["after_span_scrub"]
         >= report["after_neardup_dedup"]
         == report["corpus_rows"] > 0
     )
+    # the eval set is vocabulary-disjoint: decontamination drops nothing
+    assert report["after_decontamination"] == report["after_perplexity_gate"]
     assert 0 < report["n_test"] < report["corpus_rows"]
     assert report["n_shards"] >= 1
