@@ -618,3 +618,46 @@ def test_decontaminate_flags_only_overlapping_train_docs(spark):
     # plan: the test-gram side must broadcast; the train side never exchanges
     plan = decontaminate(train, test, n=13)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_resize_media_plumbing(spark):
+    media = multimodal.synth_media(spark, 30, partitions=2).cache()
+    stubbed = multimodal.resize_media(media, 64, 64).toPandas()
+    assert set(stubbed["status"]) == {"stubbed:no_codec"}
+    out = multimodal.resize_media(
+        media, 64, 64, multimodal.deterministic_fake_resizer
+    ).toPandas()
+    assert set(out["status"]) == {"resized"}
+    assert (out["n_bytes"] == 64 * 64 // 64).all()
+    assert (out["width"] == 64).all() and (out["height"] == 64).all()
+    # deterministic and dimension-sensitive
+    again = multimodal.resize_media(
+        media, 64, 64, multimodal.deterministic_fake_resizer
+    ).toPandas()
+    key = lambda df: df.sort_values("media_id")["payload"].map(bytes).tolist()
+    assert key(out) == key(again)
+    other = multimodal.resize_media(
+        media, 128, 64, multimodal.deterministic_fake_resizer
+    ).toPandas()
+    assert key(out) != key(other)
+
+
+def test_sample_frames_every_k(spark):
+    media = multimodal.synth_media(spark, 40, partitions=2).cache()
+    out = multimodal.sample_frames(
+        media, every_k=4, frame_fn=multimodal.deterministic_fake_frame_extractor
+    ).toPandas()
+    assert set(out["status"]) == {"sampled"}
+    assert (out["frame_idx"] % 4 == 0).all()
+    # per media: sampled count == ceil(n_frames / 4) from the fake rule
+    feats = multimodal.extract_media_features(
+        media, multimodal.deterministic_fake_decoder
+    ).toPandas().set_index("media_id")
+    counts = out.groupby("media_id").size()
+    for mid, n in counts.items():
+        assert n == -(-feats.loc[mid, "n_frames"] // 4)
+    # frames are distinct bytes within a media
+    one = out[out.media_id == out.media_id.iloc[0]]["payload"].map(bytes)
+    assert len(set(one)) == len(one)
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(media, every_k=0)

@@ -194,3 +194,177 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---- resize + frame sampling (same stub-decoder contract) -----------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def real_resizer(kind: str, payload: bytes, width: int, height: int) -> bytes:
+    """Placeholder for the codec-backed resizer (PIL.Image.resize /
+    ffmpeg scale) — absent in this container; inject on a cluster."""
+    raise NotImplementedError(
+        f"no codec available to resize kind={kind!r}; inject resize_fn"
+    )
+
+
+def deterministic_fake_resizer(
+    kind: str, payload: bytes, width: int, height: int
+) -> bytes:
+    """Stand-in resizer: a payload whose bytes derive from
+    sha256(payload || dims) repeated to ~width*height/64 bytes — stable
+    across runs and proportional to the target area, so size-based
+    assertions exercise the real plumbing."""
+    seed = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
+    size = max(32, width * height // 64)
+    return (seed * (size // len(seed) + 1))[:size]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[str, bytes, int, int], bytes] = real_resizer,
+) -> DataFrame:
+    """Batch resize via mapInPandas: one Arrow batch of payloads in,
+    one batch of resized payloads out; failures become status rows
+    (the stage never aborts a 100 TB job on one corrupt file)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                try:
+                    out = resize_fn(kind, bytes(payload), width, height)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "kind": kind,
+                            "width": width,
+                            "height": height,
+                            "payload": out,
+                            "n_bytes": len(out),
+                            "status": "resized",
+                        }
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "kind": kind,
+                            "width": None,
+                            "height": None,
+                            "payload": None,
+                            "n_bytes": None,
+                            "status": "stubbed:no_codec",
+                        }
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "kind": kind,
+                            "width": None,
+                            "height": None,
+                            "payload": None,
+                            "n_bytes": None,
+                            "status": f"failed:{type(e).__name__}",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )
+
+
+def real_frame_extractor(kind: str, payload: bytes) -> list[bytes]:
+    """Placeholder for the codec-backed frame extractor (av/ffmpeg) —
+    absent in this container; inject on a cluster."""
+    raise NotImplementedError(
+        f"no codec available to extract frames from kind={kind!r}"
+    )
+
+
+def deterministic_fake_frame_extractor(kind: str, payload: bytes) -> list[bytes]:
+    """Stand-in: n_frames from the fake decoder's rule, each frame's
+    bytes = sha256(payload || frame index) — stable, distinct per
+    frame."""
+    d = deterministic_fake_decoder(kind, payload)
+    return [
+        hashlib.sha256(payload + f":f{i}".encode()).digest()
+        for i in range(d["n_frames"])
+    ]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_k: int = 4,
+    frame_fn: Callable[[str, bytes], list] = real_frame_extractor,
+) -> DataFrame:
+    """Frame sampling for video columns: decode each payload's frame
+    list inside the Arrow batch, emit every ``every_k``-th frame as its
+    own row (the row explosion happens INSIDE mapInPandas — no
+    intermediate array column ever materializes a whole video in one
+    row, which is what breaks at 100 TB with long clips)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                try:
+                    frames = frame_fn(kind, bytes(payload))
+                    for i in range(0, len(frames), every_k):
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_idx": i,
+                                "payload": frames[i],
+                                "status": "sampled",
+                            }
+                        )
+                except NotImplementedError:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": None,
+                            "payload": None,
+                            "status": "stubbed:no_codec",
+                        }
+                    )
+                except Exception as e:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": None,
+                            "payload": None,
+                            "status": f"failed:{type(e).__name__}",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema=FRAME_SCHEMA
+    )
