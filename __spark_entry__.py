@@ -669,25 +669,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return [float(v) for v in row[0]]
 
-    def cosine_topk(spark, sf):
-        from vlm_ocr_pipeline_spark.operators.similarity import cosine_topk as op
-
-        return op(_t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
-
-    def lsh_topk(spark, sf):  # SRP bucket + Hamming-1 multi-probe (oracled)
-        from vlm_ocr_pipeline_spark.operators.similarity import lsh_bucketed_topk
-
-        return lsh_bucketed_topk(
-            _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10, hamming_probe=1
+    def ann_topk(spark, sf):
+        """Exact AND approximate top-k in one query (50-query-budget
+        consolidation of the former cosine_topk + lsh_topk — both
+        result sets remain fully hash-checked, tagged by method)."""
+        from vlm_ocr_pipeline_spark.operators.similarity import (
+            cosine_topk as exact_op,
+            lsh_bucketed_topk,
         )
+
+        emb = _t(spark, sf, "embeddings")
+        qv = _query_vec(spark, sf)
+        exact = exact_op(emb, qv, k=10).select(
+            F.lit("exact").alias("method"), "vec_id", "cosine"
+        )
+        approx = lsh_bucketed_topk(emb, qv, k=10, hamming_probe=1).select(
+            F.lit("lsh").alias("method"), "vec_id", "cosine"
+        )
+        return exact.unionByName(approx)
+
+    def decontaminate_hits(spark, sf):
+        """GPT-3-style benchmark decontamination: eval set = every 37th
+        doc; n=5 word grams (documents are short at small SFs)."""
+        from vlm_ocr_pipeline_spark.operators.text_dedup import decontaminate
+
+        docs = _t(spark, sf, "documents")
+        eval_docs = docs.filter(F.col("doc_id") % 37 == 0)
+        return decontaminate(docs, eval_docs, n=5)
 
     def embedding_neardup(spark, sf):  # SRP bucket join (oracled)
         from vlm_ocr_pipeline_spark.operators.similarity import embedding_neardup_pairs
 
         return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
 
-    q["cosine_topk"] = cosine_topk
-    q["lsh_topk"] = lsh_topk
+    q["ann_topk"] = ann_topk
+    q["decontaminate"] = decontaminate_hits
     q["embedding_neardup"] = embedding_neardup
 
     # ============ multimodal plumbing (full-oracle) ===================
@@ -1399,7 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.sig, b.sig)) <= 3
     """
 
-    o["cosine_topk"] = """
+    _cosine_topk_sql = """
         WITH q AS (
             SELECT generate_subscripts(embedding, 1) AS i,
                    unnest(embedding) AS qv
@@ -1454,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pdots GROUP BY vec_id
         )
     """
-    o["lsh_topk"] = f"""
+    _lsh_topk_sql = f"""
         WITH {_bucket_ctes},
         q AS (SELECT bucket AS qb FROM buckets WHERE vec_id = 0),
         cand AS (
@@ -1476,6 +1492,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(dot / (ne * nq), 6) AS cosine
         FROM cdots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    o["ann_topk"] = f"""
+        SELECT 'exact' AS method, t.* FROM ({_cosine_topk_sql}) t
+        UNION ALL
+        SELECT 'lsh' AS method, t2.* FROM ({_lsh_topk_sql}) t2
+    """
+    o["decontaminate"] = f"""
+        WITH words AS (
+            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS s
+            FROM words,
+                 LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+        ),
+        eg AS (SELECT DISTINCT s FROM tg WHERE doc_id % 37 = 0)
+        SELECT tg.doc_id, CAST(count(DISTINCT tg.s) AS BIGINT) AS n_hits
+        FROM tg JOIN eg USING (s)
+        GROUP BY tg.doc_id
     """
     o["embedding_neardup"] = f"""
         WITH {_bucket_ctes},

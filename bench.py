@@ -95,8 +95,8 @@ def main() -> None:
             "pdf_markdown_fonts",
             "token_shards",
             "tfidf_top3",
-            "cosine_topk",
-            "lsh_topk",
+            "ann_topk",
+            "decontaminate",
             "embedding_neardup",
             "asof_last_error",
             "range_join_windows",
