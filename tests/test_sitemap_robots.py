@@ -1,0 +1,107 @@
+"""Sitemap source and robots.txt rules filtering."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vlm_ocr_pipeline_spark.operators.urls import (
+    parse_robots_rules,
+    robots_disallow_filter,
+)
+from vlm_ocr_pipeline_spark.sources.sitemap import read_sitemap
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> https://docs.example.org/a </loc>
+    <lastmod>2026-01-05</lastmod>
+  </url>
+  <url><loc>https://docs.example.org/b</loc></url>
+  <url><priority>0.3</priority></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap>
+    <loc>https://docs.example.org/sitemap-1.xml</loc>
+    <lastmod>2026-02-01T10:00:00Z</lastmod>
+  </sitemap>
+</sitemapindex>
+"""
+
+
+def test_read_sitemap_urls_and_index(spark, tmp_path):
+    (tmp_path / "sm.xml").write_text(SITEMAP)
+    (tmp_path / "idx.xml").write_text(SITEMAP_INDEX)
+    out = read_sitemap(spark, str(tmp_path)).toPandas()
+    urls = out[out.kind == "url"]
+    assert sorted(urls["url"]) == [
+        "https://docs.example.org/a",  # whitespace trimmed
+        "https://docs.example.org/b",
+    ]
+    assert urls.set_index("url").loc[
+        "https://docs.example.org/a", "lastmod"
+    ] == "2026-01-05"
+    assert urls.set_index("url").loc[
+        "https://docs.example.org/b", "lastmod"
+    ] is None
+    idx = out[out.kind == "sitemap"]
+    assert list(idx["url"]) == ["https://docs.example.org/sitemap-1.xml"]
+    # the <url> block without a <loc> contributes nothing
+    assert len(out) == 3
+
+
+ROBOTS = """# comment line
+User-agent: SpecialBot
+Disallow: /everything
+
+User-agent: *
+User-agent: OtherBot
+Disallow: /private/
+Allow: /private/public/
+Disallow:
+Disallow: /tmp
+"""
+
+
+def test_parse_robots_rules_wildcard_groups_only(spark):
+    robots = spark.createDataFrame(
+        [("docs.example.org", ROBOTS)], "domain string, body string"
+    )
+    rules = parse_robots_rules(robots).toPandas()
+    got = {(r.rule, r.path_prefix) for r in rules.itertuples()}
+    # SpecialBot's group excluded; empty Disallow dropped
+    assert got == {
+        ("disallow", "/private/"),
+        ("allow", "/private/public/"),
+        ("disallow", "/tmp"),
+    }
+    assert set(rules["domain"]) == {"docs.example.org"}
+
+
+def test_robots_disallow_filter_longest_match_allow_wins(spark):
+    robots = spark.createDataFrame(
+        [("docs.example.org", ROBOTS)], "domain string, body string"
+    )
+    rules = parse_robots_rules(robots)
+    pages = spark.createDataFrame(
+        [
+            (1, "https://docs.example.org/open/page"),
+            (2, "https://docs.example.org/private/secret"),
+            (3, "https://docs.example.org/private/public/ok"),
+            (4, "https://docs.example.org/tmp/file"),
+            (5, "https://other.example.net/private/whatever"),  # no rules host
+        ],
+        "id long, url string",
+    )
+    kept = robots_disallow_filter(pages, rules)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 5]
+    assert kept.columns == ["id", "url"]  # helpers dropped
+    # pages side joins the rules as a broadcast
+    plan = robots_disallow_filter(pages, rules)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="_path"):
+        robots_disallow_filter(pages.withColumn("_path", F.lit("x")), rules)

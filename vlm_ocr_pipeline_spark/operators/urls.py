@@ -158,3 +158,107 @@ def blocklist_filter(
             F.broadcast(bl), tagged["_dom"] == bl["domain"], "left_anti"
         ).drop("_dom")
     )
+
+
+# ---- robots.txt rules -----------------------------------------------
+
+
+def parse_robots_rules(
+    robots: DataFrame, domain_col: str = "domain", body_col: str = "body"
+) -> DataFrame:
+    """Parse robots.txt bodies into (domain, rule, path_prefix) rows
+    for the wildcard ('*') user-agent group(s), RFC 9309 group
+    semantics: consecutive User-agent lines open a group, Allow /
+    Disallow lines belong to the most recent group, '#' starts a
+    comment.  Empty Disallow values (allow-all) produce no row.
+
+    Parsing runs in mapInPandas because robots bodies are a TINY side
+    input (one short text per host — never the corpus side); the
+    output feeds :func:`robots_disallow_filter` as a broadcast.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for domain, body in zip(b[domain_col], b[body_col]):
+                agents: list[str] = []
+                in_rules = False
+                for line in (body or "").splitlines():
+                    line = line.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    field, _, value = line.partition(":")
+                    field = field.strip().lower()
+                    value = value.strip()
+                    if field == "user-agent":
+                        if in_rules:  # a new group starts
+                            agents = []
+                            in_rules = False
+                        agents.append(value)
+                    elif field in ("allow", "disallow"):
+                        in_rules = True
+                        if "*" in agents and value:
+                            rows.append(
+                                {
+                                    "domain": domain,
+                                    "rule": field,
+                                    "path_prefix": value,
+                                }
+                            )
+            yield pd.DataFrame(
+                rows, columns=["domain", "rule", "path_prefix"]
+            )
+
+    return robots.select(
+        F.col(domain_col).alias(domain_col), F.col(body_col).alias(body_col)
+    ).mapInPandas(gen, schema="domain string, rule string, path_prefix string")
+
+
+def robots_disallow_filter(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages a site's robots.txt disallows for '*' agents.
+
+    Longest-match decides, Allow wins ties (the Google/RFC 9309
+    precedence rule); prefixes are literal (no '*'/'$' wildcards —
+    documented simplification).  The rules aggregate to ONE array row
+    per host and broadcast, and the match is a JVM higher-order filter
+    over that array — the 100 TB pages side never shuffles and needs
+    no per-page grouping.
+    """
+    for c in ("_host", "_path", "_rules"):
+        if c in pages.columns:
+            raise ValueError(
+                f"robots_disallow_filter reserves column name {c!r}; "
+                "rename it in the input first"
+            )
+    rule_arrays = rules.groupBy(F.col("domain")).agg(
+        F.collect_list(F.struct("rule", "path_prefix")).alias("_rules")
+    )
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#:]+)", 1))
+    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    tagged = pages.withColumn("_host", host).withColumn(
+        "_path", F.when(path == "", "/").otherwise(path)
+    )
+    j = tagged.join(
+        F.broadcast(rule_arrays),
+        tagged["_host"] == rule_arrays["domain"],
+        "left",
+    )
+    matches = F.filter(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast("array<struct<rule:string,path_prefix:string>>"),
+        ),
+        lambda r: F.col("_path").startswith(r["path_prefix"]),
+    )
+    longest = lambda kind: F.array_max(  # noqa: E731
+        F.transform(
+            F.filter(matches, lambda r: r["rule"] == kind),
+            lambda r: F.length(r["path_prefix"]),
+        )
+    )
+    dis, alw = longest("disallow"), longest("allow")
+    keep = dis.isNull() | (alw.isNotNull() & (alw >= dis))
+    return j.filter(keep).drop("_host", "_path", "_rules", "domain")

@@ -1,0 +1,60 @@
+"""Sitemap source: XML sitemaps / sitemap indexes -> URL DataFrame.
+
+The crawl-frontier complement of the CDXJ capture index: sitemaps are
+how sites DECLARE their URLs (sitemaps.org protocol), so a fetch plan
+usually unions "what the site declares" (here) with "what was already
+captured" (cdxj.fetch_plan) and anti-joins the checkpoint table.
+
+Parsing is pure JVM regex over whole files — the spec caps a sitemap
+at 50 MB/50k URLs, so one file per row is the intended granularity,
+and a directory of thousands of sitemaps parallelizes per file.  No
+XML library: the protocol's fixed <url>/<sitemap> + <loc>/<lastmod>
+structure is regular, and real-world sitemaps that violate it also
+break lenient parsers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# block-level patterns ((?s) = dot matches newlines; Java regex)
+_URL_BLOCK = r"(?s)<url\s*>(.*?)</url\s*>"
+_SITEMAP_BLOCK = r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"
+_LOC = r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>"
+_LASTMOD = r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+
+
+def read_sitemap(spark: SparkSession, path: str) -> DataFrame:
+    """Parse every sitemap file under ``path``.
+
+    Output: (sitemap_file, kind, url, lastmod) — ``kind`` is 'url' for
+    page entries and 'sitemap' for index entries pointing at child
+    sitemaps (callers recurse on those with a second read; unbounded
+    recursion inside one operator would hide fetch fan-out).
+    ``lastmod`` stays a string: the protocol allows both date and
+    datetime forms, and normalization policy belongs to the caller.
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("sitemap_file"), F.col("value")
+    )
+
+    def entries(kind: str, block_re: str):
+        block = F.explode(
+            F.regexp_extract_all(F.col("value"), F.lit(block_re), F.lit(1))
+        ).alias("block")
+        return (
+            raw.select("sitemap_file", block)
+            .select(
+                "sitemap_file",
+                F.lit(kind).alias("kind"),
+                F.regexp_extract(F.col("block"), _LOC, 1).alias("url"),
+                F.nullif(
+                    F.regexp_extract(F.col("block"), _LASTMOD, 1), F.lit("")
+                ).alias("lastmod"),
+            )
+            .filter(F.col("url") != "")
+        )
+
+    return entries("url", _URL_BLOCK).unionByName(
+        entries("sitemap", _SITEMAP_BLOCK)
+    )
