@@ -106,44 +106,56 @@ def main() -> None:
         # shape pays whole-stage-codegen compilation + JIT (measured
         # 9.9 s -> 1.9 s on an identical rerun of minhash_lsh) — pure
         # per-plan fixed cost that amortizes to zero on real inputs, so
-        # steady-state is the honest number for cross-round comparison
+        # steady-state is the honest number for cross-round comparison.
+        # The shuffle-heavy dedup family showed ±15% cross-invocation
+        # drift on this 16/32-core box (round-3 adjudication), so those
+        # report the MEDIAN OF 3 steady-state runs (4 total, first
+        # discarded as codegen warmup) instead of best-of-2.
+        median_of_3 = {
+            "minhash_lsh",
+            "simhash64_neardup",
+            "dup_spans",
+            "neardup_clusters",
+            "ngram_jaccard",
+        }
         for name in bench_queries:
             fn = qs[name]
-            best = None
-            for _ in range(2):
+            runs: list[float] = []
+            n_runs = 4 if name in median_of_3 else 2
+            for _ in range(n_runs):
                 spark.catalog.clearCache()  # no cross-run cache reuse
                 entrymod._EXTRACT_CACHE.clear()
                 t0 = time.monotonic()
                 fn(spark, sf_dir).count()
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.monotonic() - t0)
+            if name in median_of_3:
+                steady = sorted(runs[1:])[len(runs[1:]) // 2]
+            else:
+                steady = min(runs)
+            timings[name] = round(steady, 3)
 
     total = round(sum(timings.values()), 3)
+    # COMPACT result only — the scaling evidence lives in SCALING.json /
+    # SCALING_CLUSTER.json / SCALING_DEDUP.json at the repo root.  Round 3
+    # embedded those blobs here and the line outgrew the driver's stdout
+    # tail capture, leaving BENCH_r03 unparseable (parsed: null).  The
+    # compact JSON line MUST be the LAST stdout line.
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "timing": "best_of_2_steady_state",
+        "timing": "best_of_2_steady_state (dedup family: median_of_3)",
         "queries": timings,
         "sf": sf_num,
         "cpus": cpus,
         "extract_pages": n_pages,
         "extract_docs_per_sec": docs_per_sec,
+        "scaling_files": "SCALING.json SCALING_CLUSTER.json SCALING_DEDUP.json",
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (
-        ("scaling", "SCALING.json"),                  # local-mode N vs 4N
-        ("scaling_cluster", "SCALING_CLUSTER.json"),  # real executors N vs 4N
-        ("scaling_dedup", "SCALING_DEDUP.json"),      # shuffle-heavy op N vs 4N
-    ):
-        path = os.path.join(here, fname)
-        if os.path.exists(path):
-            with open(path) as f:
-                result[key] = json.load(f)
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
     shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
     spark.stop()
+    sys.stdout.flush()
     print(json.dumps(result))
 
 

@@ -311,6 +311,30 @@ def test_asof_join_sliced_parity(spark):
         assert base.equals(sliced[base.columns.tolist()]), width
 
 
+def test_asof_join_duplicate_right_timestamp_ties(spark):
+    """Equal-timestamp right rows resolve deterministically to the max
+    value struct in BOTH variants (the round-3 advice: the sliced
+    carry-in tie-broke by value while the window left it unspecified)."""
+    import datetime as dt
+
+    from vlm_ocr_pipeline_spark.operators.asof import asof_join, asof_join_sliced
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, 0, T(30))], ["k", "lid", "ts"])
+    # three right rows at the SAME timestamp in the last slice before a
+    # gap — exactly the divergence case flagged
+    right = spark.createDataFrame(
+        [(1, 900, T(5)), (1, 907, T(5)), (1, 903, T(5))], ["k", "rid", "ts"]
+    ).repartition(3)
+    base = asof_join(left, right, "k", "ts", "ts", ["rid"], "m_").collect()
+    assert base[0]["m_rid"] == 907  # max value wins, not shuffle order
+    for width in (1, 10, 86400):
+        got = asof_join_sliced(
+            left, right, "k", "ts", "ts", ["rid"], "m_", slice_seconds=width
+        ).collect()
+        assert got[0]["m_rid"] == 907, width
+
+
 def test_asof_reserved_column_guard(spark):
     import datetime as dt
 

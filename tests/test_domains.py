@@ -68,6 +68,71 @@ def test_blocklist_filter_drops_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+PSL_CASES = [
+    # the cases the 22-suffix heuristic gets WRONG, resolved right here
+    ("https://user.github.io/project/", "user.github.io"),
+    ("https://www.toko.example.co.id/x", "example.co.id"),
+    ("https://shop.example.com.vn/x", "example.com.vn"),
+    ("https://blog.example.blogspot.com/p", "example.blogspot.com"),
+    # wildcard rule *.ck: any x.ck is a public suffix
+    ("https://www.shop.biz.ck/x", "shop.biz.ck"),
+    # exception !www.ck overrides the wildcard
+    ("https://www.ck/x", "www.ck"),
+    ("https://a.www.ck/x", "www.ck"),
+    # heuristic-covered cases stay identical
+    ("HTTPS://News.Example.CO.UK/x?y=1", "example.co.uk"),
+    ("https://a.b.c.example.org/x", "example.org"),
+    ("http://192.168.10.1:8080/x", "192.168.10.1"),
+    ("http://github.io/", "github.io"),  # bare public suffix passthrough
+    ("no-scheme-at-all", ""),
+]
+
+
+def test_registrable_domain_psl_cases(spark):
+    from vlm_ocr_pipeline_spark.operators.urls import registrable_domain_psl
+
+    df = spark.createDataFrame(
+        [(u, i) for i, (u, _) in enumerate(PSL_CASES)], "url string, id int"
+    )
+    out = registrable_domain_psl(df).orderBy("id").collect()
+    assert [r["domain"] for r in out] == [d for _, d in PSL_CASES]
+    # input columns pass through, helpers dropped
+    assert registrable_domain_psl(df).columns == ["url", "id", "domain"]
+
+
+def test_registrable_domain_psl_broadcast_no_shuffle(spark):
+    """The PSL resolves via broadcast joins only — the corpus side must
+    not exchange (the whole point at 100 TB)."""
+    from vlm_ocr_pipeline_spark.operators.urls import registrable_domain_psl
+
+    df = spark.createDataFrame([("https://a.example.co.id/x",)], "url string")
+    plan = registrable_domain_psl(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan  # no corpus-side exchange
+
+
+def test_registrable_domain_psl_custom_list_and_guard(spark):
+    import pytest as _pytest
+
+    from vlm_ocr_pipeline_spark.operators.urls import load_psl, registrable_domain_psl
+
+    psl = load_psl(spark, ["co.test", "// comment", "", "*.wild", "!ok.wild"])
+    df = spark.createDataFrame(
+        [
+            ("https://a.b.co.test/x",),
+            ("https://x.deep.wild/x",),
+            ("https://sub.ok.wild/x",),
+        ],
+        "url string",
+    )
+    got = [r["domain"] for r in registrable_domain_psl(df, psl).collect()]
+    assert got == ["b.co.test", "x.deep.wild", "ok.wild"]
+
+    bad = spark.createDataFrame([("https://a.example.org/x", 1)], "url string, _ps2 int")
+    with _pytest.raises(ValueError, match="_ps2"):
+        registrable_domain_psl(bad)
+
+
 def test_blocklist_filter_reserved_column_guard(spark):
     import pytest as _pytest
 

@@ -122,3 +122,60 @@ def test_cluster_balanced_sample_caps_every_cell(emb, centroids):
 
     truth = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb, centroids).collect()}
     assert all(truth[r["vec_id"]] == r["cell"] for r in rows)
+
+
+def test_cluster_balanced_sample_two_phase_parity_and_hot_cell_bound(
+    spark, emb, centroids
+):
+    """The phase-1 per-partition pre-cap must (a) leave the final
+    result identical to the naive single-window form — the hash order
+    is total, so the global winners survive every partition cap — and
+    (b) bound what the phase-2 window can receive for a HOT cell to
+    partitions × per_cluster rows, so the op scales on exactly its
+    target workload (one dominant topic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vlm_ocr_pipeline_spark.operators.similarity import (
+        _precap_per_partition,
+        assign_ivf_cells,
+        cluster_balanced_sample,
+    )
+
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in cluster_balanced_sample(emb, centroids, per_cluster=7).collect()
+    }
+    # naive reference: one global window per cell (the round-3 shape)
+    assigned = assign_ivf_cells(
+        emb.select(F.col("vec_id"), F.col("embedding")), centroids
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.xxhash64(F.col("vec_id"), F.lit("7")).asc(), F.col("vec_id").asc()
+    )
+    naive = {
+        (r["vec_id"], r["cell"])
+        for r in assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == naive
+
+    # hot-cell bound: everything in ONE cell, spread over 8 partitions
+    # -> pre-cap survivors <= 8 * per_cluster, not the full 2000 rows
+    hot = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.lit(3).cast("int").alias("cell"),
+        F.xxhash64(F.col("id"), F.lit("7")).alias("_h"),
+    ).repartition(8)
+    survivors = _precap_per_partition(hot, per_cluster=5)
+    n = survivors.count()
+    assert n <= 8 * 5
+    # and the survivors still contain the 5 global winners
+    top5 = {
+        r["vec_id"]
+        for r in hot.orderBy("_h", "vec_id").limit(5).collect()
+    }
+    kept = {r["vec_id"] for r in survivors.orderBy("_h", "vec_id").limit(5).collect()}
+    assert kept == top5

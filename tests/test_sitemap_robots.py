@@ -67,7 +67,7 @@ Disallow: /tmp
 
 def test_parse_robots_rules_wildcard_groups_only(spark):
     robots = spark.createDataFrame(
-        [("docs.example.org", ROBOTS)], "domain string, body string"
+        [("docs.example.org", ROBOTS)], "host string, body string"
     )
     rules = parse_robots_rules(robots).toPandas()
     got = {(r.rule, r.path_prefix) for r in rules.itertuples()}
@@ -77,12 +77,14 @@ def test_parse_robots_rules_wildcard_groups_only(spark):
         ("allow", "/private/public/"),
         ("disallow", "/tmp"),
     }
-    assert set(rules["domain"]) == {"docs.example.org"}
+    assert set(rules["host"]) == {"docs.example.org"}
+    # literal rules carry no compiled pattern
+    assert rules["pattern"].isna().all()
 
 
 def test_robots_disallow_filter_longest_match_allow_wins(spark):
     robots = spark.createDataFrame(
-        [("docs.example.org", ROBOTS)], "domain string, body string"
+        [("docs.example.org", ROBOTS)], "host string, body string"
     )
     rules = parse_robots_rules(robots)
     pages = spark.createDataFrame(
@@ -105,3 +107,80 @@ def test_robots_disallow_filter_longest_match_allow_wins(spark):
 
     with pytest.raises(ValueError, match="_path"):
         robots_disallow_filter(pages.withColumn("_path", F.lit("x")), rules)
+
+
+ROBOTS_WILDCARDS = """User-agent: *
+Disallow: /*?sessionid=
+Disallow: /print$
+Allow: /shop/*?sessionid=keep
+Disallow: /downloads/*.pdf$
+"""
+
+
+def test_robots_rfc9309_wildcard_rules(spark):
+    """RFC 9309 §2.2.3: '*' matches any octet run, trailing '$' anchors
+    the end; precedence (§2.2.2) = most octets in the rule as written,
+    Allow wins ties."""
+    robots = spark.createDataFrame(
+        [("shop.example.org", ROBOTS_WILDCARDS)], "host string, body string"
+    )
+    rules = parse_robots_rules(robots)
+    pats = {
+        r["path_prefix"]: r["pattern"] for r in rules.collect()
+    }
+    assert pats["/*?sessionid="] == r"^/.*\?sessionid="
+    assert pats["/print$"] == "^/print$"
+    pages = spark.createDataFrame(
+        [
+            (1, "https://shop.example.org/item/42"),             # clean: keep
+            (2, "https://shop.example.org/item/42?sessionid=ab"), # wildcard hit
+            (3, "https://shop.example.org/print"),                # $-anchored hit
+            (4, "https://shop.example.org/print/page"),           # NOT anchored-match
+            (5, "https://shop.example.org/shop/x?sessionid=keep"),  # longer Allow
+            (6, "https://shop.example.org/downloads/a.pdf"),      # *.pdf$ hit
+            (7, "https://shop.example.org/downloads/a.pdf.html"), # $ keeps this
+        ],
+        "id long, url string",
+    )
+    kept = sorted(r["id"] for r in robots_disallow_filter(pages, rules).collect())
+    assert kept == [1, 4, 5, 7]
+
+
+def test_robots_filter_preserves_page_domain_column(spark):
+    """A pages frame carrying its own 'domain' (or 'host') column must
+    pass through untouched — only reserved temp columns are dropped."""
+    robots = spark.createDataFrame(
+        [("docs.example.org", ROBOTS)], "host string, body string"
+    )
+    rules = parse_robots_rules(robots)
+    pages = spark.createDataFrame(
+        [(1, "https://docs.example.org/open", "example.org", "docs.example.org")],
+        "id long, url string, domain string, host string",
+    )
+    out = robots_disallow_filter(pages, rules)
+    assert out.columns == ["id", "url", "domain", "host"]
+    row = out.collect()[0]
+    assert row["domain"] == "example.org" and row["host"] == "docs.example.org"
+
+
+def test_robots_filter_legacy_domain_key_and_recomputed_patterns(spark):
+    """Rules built without a 'pattern' column (or keyed by the legacy
+    'domain' name) still work: patterns are recomputed JVM-side."""
+    rules = spark.createDataFrame(
+        [
+            ("docs.example.org", "disallow", "/a/*.zip$"),
+            ("docs.example.org", "disallow", "/plain"),
+        ],
+        "domain string, rule string, path_prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://docs.example.org/a/x.zip"),
+            (2, "https://docs.example.org/a/x.zip.txt"),
+            (3, "https://docs.example.org/plain/f"),
+            (4, "https://docs.example.org/ok"),
+        ],
+        "id long, url string",
+    )
+    kept = sorted(r["id"] for r in robots_disallow_filter(pages, rules).collect())
+    assert kept == [2, 4]

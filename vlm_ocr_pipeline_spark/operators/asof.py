@@ -53,6 +53,12 @@ def asof_join(
     ``value_cols`` from the matched right row (null when no right row
     at or before the left time).
 
+    Ties: when several right rows share the matched timestamp, the one
+    with the greatest ``value_cols`` struct (field order, Spark struct
+    comparison) wins — deterministic, and identical to the carry-in
+    rule in :func:`asof_join_sliced` (``max(struct(_t, _r))``), so the
+    two variants agree even with duplicate right timestamps.
+
     Hot-key constraint: the window partitions by ``on`` alone, so ONE
     pathological key (a single user with 10^8 events) serializes
     through one task at scale.  For inputs with such keys use
@@ -77,10 +83,12 @@ def asof_join(
     rt = rt.withColumn("_l", F.lit(None).cast(lt.schema["_l"].dataType))
     u = lt.unionByName(rt)
     # right (side 0) sorts before left (side 1) at equal time ->
-    # inclusive >= match semantics
+    # inclusive >= match semantics; trailing _r makes equal-timestamp
+    # right rows deterministic (last = max value, the sliced carry-in
+    # rule) instead of leaving the tie to shuffle order
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
@@ -107,7 +115,9 @@ def asof_join_sliced(
     whose slice has no earlier right row take the carry-in value: the
     last right row of ANY previous slice, computed by a second window
     over one row per (key, slice) — negligible data, and the only
-    cross-slice communication.  Results are identical to asof_join.
+    cross-slice communication.  Results are identical to asof_join,
+    including timestamp ties (both resolve to the max ``value_cols``
+    struct — see :func:`asof_join`).
     """
     _guard_columns(_ASOF_COLS + ("_slice",), left, right)
     sl = lambda t: F.floor(F.unix_timestamp(F.col(t)) / int(slice_seconds))  # noqa: E731
@@ -130,7 +140,7 @@ def asof_join_sliced(
     u = lt.unionByName(rt)
     w = (
         Window.partitionBy("_k", "_slice")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))

@@ -342,6 +342,34 @@ def ivf_search(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def _precap_per_partition(assigned: DataFrame, per_cluster: int) -> DataFrame:
+    """Phase-1 cap for :func:`cluster_balanced_sample`: WITHIN each
+    input partition keep only the ``per_cluster`` smallest rows per
+    cell by the total order (_h, vec_id) — a running pandas top-n
+    across the partition's Arrow batches, no shuffle.  Survivors per
+    cell are bounded by partitions × per_cluster, so the phase-2
+    window never sees a whole hot cell in one task.  Because the hash
+    order is total, each partition's cap keeps a superset of the
+    global winners — phase 2's result is provably unchanged."""
+    import pandas as pd
+
+    schema = assigned.schema
+
+    def gen(batches):
+        acc = None
+        for b in batches:
+            cur = b if acc is None else pd.concat([acc, b], ignore_index=True)
+            acc = (
+                cur.sort_values(["_h", "vec_id"], kind="mergesort")
+                .groupby("cell", sort=False)
+                .head(per_cluster)
+            )
+        if acc is not None:
+            yield acc
+
+    return assigned.mapInPandas(gen, schema=schema)
+
+
 def cluster_balanced_sample(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -353,20 +381,30 @@ def cluster_balanced_sample(
     """Topic-balanced subsampling (the SemDeDup/cluster-stratified
     curation step): assign every vector to its IVF cell, keep at most
     ``per_cluster`` per cell chosen by deterministic id hash.  Caps the
-    dominant topic's share of a training mix without a global sort —
-    one hash-partition window per cell.
+    dominant topic's share of a training mix without a global sort.
+
+    Two-phase at scale (the op exists to tame a DOMINANT topic, i.e. a
+    hot cell): phase 1 pre-caps per INPUT PARTITION per cell via a
+    running pandas top-n (zero shuffle, ≤ partitions × per_cluster
+    survivors per cell), phase 2 runs the per-cell window over the
+    survivors only — so no single task ever sorts a whole hot cell.
+    The (xxhash64(id, seed), id) order is total, making the result
+    identical to the naive single-window form.
 
     Output: (vec_id, cell) of the kept rows."""
     assigned = assign_ivf_cells(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
         centroids,
         vec_col,
+    ).select(
+        "vec_id",
+        "cell",
+        F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("_h"),
     )
-    w = Window.partitionBy("cell").orderBy(
-        F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc()
-    )
+    capped = _precap_per_partition(assigned, per_cluster)
+    w = Window.partitionBy("cell").orderBy(F.col("_h").asc(), F.col("vec_id").asc())
     return (
-        assigned.withColumn("_rn", F.row_number().over(w))
+        capped.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_cluster)
         .select("vec_id", "cell")
     )

@@ -129,6 +129,159 @@ def domain_summary(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# ---- real public-suffix list (eTLD+1 done right) --------------------
+# MULTI_PART_SUFFIXES above is a 22-entry heuristic kept as the
+# oracle-compatible default; domains under any of the ~9,000 other PSL
+# suffixes (example.co.id, example.com.vn, every github.io site)
+# mis-group there.  registrable_domain_psl accepts the full Mozilla
+# public-suffix list (publicsuffix.org — public data; load the dat
+# file's non-comment lines) and resolves eTLD+1 with the real PSL
+# algorithm: longest-label match wins, '*.' wildcard rules match any
+# label, '!' exception rules override wildcards, unmatched hosts fall
+# back to the implicit '*' rule (last label is the suffix).
+#
+# DEFAULT_PSL_SNAPSHOT is a small bundled subset of that list (the
+# high-traffic suffixes) so the operator is useful with no side file.
+
+DEFAULT_PSL_SNAPSHOT = (
+    # ccTLD second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "gen.tr", "org.tr",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.kr", "or.kr", "go.kr", "ne.kr",
+    "co.za", "org.za", "web.za",
+    "com.sg", "org.sg", "edu.sg",
+    "com.hk", "org.hk", "edu.hk",
+    "com.tw", "org.tw", "idv.tw",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.my", "org.my", "edu.my",
+    "com.ph", "net.ph", "org.ph",
+    "co.th", "in.th", "ac.th", "go.th",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng", "com.ua",
+    "co.il", "org.il", "ac.il",
+    # wildcard + exception examples from the real list
+    "*.ck", "!www.ck", "*.bd", "*.er", "*.fk", "!co.fk",
+    # private-section platform suffixes (each user site = own domain)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "pages.dev",
+    "web.app", "firebaseapp.com", "s3.amazonaws.com", "cloudfront.net",
+    "azurewebsites.net", "readthedocs.io", "neocities.org",
+    "fastly.net", "workers.dev", "repl.co", "glitch.me", "onrender.com",
+)
+
+
+def load_psl(spark, entries=None) -> DataFrame:
+    """PSL rule lines -> lookup table (match_suffix, ps_labels, is_exc).
+
+    ``entries``: iterable of PSL rule strings (default: the bundled
+    snapshot).  Encoding: a normal rule ``co.uk`` matches hosts whose
+    trailing labels equal it and declares a public suffix of
+    ``len(labels)`` labels; a wildcard rule ``*.ck`` is stored under
+    its fixed tail ``ck`` with ``ps_labels = tail+1`` (any single
+    label fills the '*'); an exception ``!www.ck`` is stored verbatim
+    with ``ps_labels = len-1`` (the rule minus its leftmost label is
+    the suffix) and beats wildcard matches.  Exceptions win
+    match_suffix collisions."""
+    best: dict[str, tuple[bool, int]] = {}
+    for raw in (entries if entries is not None else DEFAULT_PSL_SNAPSHOT):
+        rule = raw.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        if rule.startswith("!"):
+            body = rule[1:]
+            key, val = body, (True, len(body.split(".")) - 1)
+        elif rule.startswith("*."):
+            tail = rule[2:]
+            key, val = tail, (False, len(tail.split(".")) + 1)
+        else:
+            key, val = rule, (False, len(rule.split(".")))
+        # collisions resolved driver-side (exceptions win, then longer
+        # suffix) so the lookup table needs no groupBy exchange
+        if key not in best or val > best[key]:
+            best[key] = val
+    return spark.createDataFrame(
+        [(k, pl, exc) for k, (exc, pl) in sorted(best.items())],
+        "match_suffix string, ps_labels int, is_exc boolean",
+    )
+
+
+def registrable_domain_psl(
+    pages: DataFrame,
+    psl: DataFrame | None = None,
+    url_col: str = "url",
+    out_col: str = "domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Add the PSL-resolved registrable domain (eTLD+1) as ``out_col``.
+
+    100 TB shape: the PSL joins as ``max_suffix_labels`` BROADCAST
+    left joins (one per candidate suffix length — the full Mozilla
+    list is ~250 KB, always broadcastable), so the pages side never
+    shuffles; everything else is JVM array/string expressions.
+    Matching follows the PSL algorithm: an exception match wins, else
+    the longest public suffix across all candidate lengths, else the
+    implicit '*' rule (1-label suffix).  Hosts that ARE a bare public
+    suffix, IPv4 literals, and schemeless rows follow
+    :func:`registrable_domain`'s conventions (host / host / '').
+
+    ``max_suffix_labels`` caps candidate suffix length; the handful of
+    real 5-label PSL entries need ``5``."""
+    reserved = [f"_ps{k}" for k in range(1, max_suffix_labels + 1)]
+    reserved += [f"_pe{k}" for k in range(1, max_suffix_labels + 1)]
+    for c in reserved + ["_host", "_labels", "_n"]:
+        if c in pages.columns:
+            raise ValueError(
+                f"registrable_domain_psl reserves column name {c!r}; "
+                "rename it in the input first"
+            )
+    spark = pages.sparkSession
+    if psl is None:
+        psl = load_psl(spark)
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#:]+)", 1))
+    tagged = (
+        pages.withColumn("_host", host)
+        .withColumn("_labels", F.split(F.col("_host"), r"\."))
+        .withColumn("_n", F.size("_labels"))
+    )
+    out = tagged
+    for k in range(1, max_suffix_labels + 1):
+        lastk = F.when(
+            F.col("_n") >= k, F.concat_ws(".", F.slice(F.col("_labels"), -k, k))
+        )
+        side = F.broadcast(
+            psl.select(
+                F.col("match_suffix").alias(f"_k{k}"),
+                F.col("ps_labels").alias(f"_ps{k}"),
+                F.col("is_exc").alias(f"_pe{k}"),
+            )
+        )
+        out = out.join(side, lastk == F.col(f"_k{k}"), "left").drop(f"_k{k}")
+    ks = range(1, max_suffix_labels + 1)
+    exc_pl = F.coalesce(
+        *[F.when(F.col(f"_pe{k}"), F.col(f"_ps{k}")) for k in reversed(list(ks))]
+    )
+    norm_pl = F.greatest(
+        *[F.when(~F.col(f"_pe{k}"), F.col(f"_ps{k}")) for k in ks], F.lit(1)
+    )
+    ps = F.coalesce(exc_pl, norm_pl)
+    reg = ps + F.lit(1)
+    is_ip = F.col("_host").rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    domain = (
+        F.when(F.col("_host") == "", "")
+        .when(is_ip, F.col("_host"))
+        .when(F.col("_n") <= ps, F.col("_host"))
+        .otherwise(F.concat_ws(".", F.slice(F.col("_labels"), -reg, reg)))
+    )
+    return out.withColumn(out_col, domain).drop("_host", "_labels", "_n", *reserved)
+
+
 def blocklist_filter(
     pages: DataFrame, blocked_domains: list[str] | DataFrame, url_col: str = "url"
 ) -> DataFrame:
@@ -161,16 +314,53 @@ def blocklist_filter(
 
 
 # ---- robots.txt rules -----------------------------------------------
+# robots.txt scopes to the full AUTHORITY (RFC 9309 §2.3: one file per
+# scheme/host/port), NOT the registrable domain.  All rule keys below
+# are therefore the full lowercased host: keying rules by eTLD+1 would
+# silently exempt every subdomain page (www.example.org pages would
+# bypass rules stored under example.org).
+
+
+def _robots_rule_regex(path: str) -> str | None:
+    """RFC 9309 §2.2.3 rule pattern -> anchored Java regex, or None
+    when the rule is a plain literal prefix (fast startswith path).
+    '*' matches any run of octets; a trailing '$' anchors the end."""
+    if "*" not in path and not path.endswith("$"):
+        return None
+    import re as _re
+
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    pat = ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return "^" + pat + ("$" if anchored else "")
+
+
+def _robots_rule_regex_col(path: Column) -> Column:
+    """Column mirror of :func:`_robots_rule_regex` (JVM-side, so the
+    recompute-if-absent fallback never needs a per-row Python UDF)."""
+    anchored = path.endswith("$")
+    body = F.when(anchored, F.substring(path, 1, F.length(path) - 1)).otherwise(path)
+    esc = F.regexp_replace(body, r"([\\.^$|?*+()\[\]{}])", "\\\\$1")
+    wc = F.replace(esc, F.lit("\\*"), F.lit(".*"))
+    built = F.concat(
+        F.lit("^"), wc, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+    return F.when(path.contains("*") | anchored, built)
 
 
 def parse_robots_rules(
-    robots: DataFrame, domain_col: str = "domain", body_col: str = "body"
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:
-    """Parse robots.txt bodies into (domain, rule, path_prefix) rows
-    for the wildcard ('*') user-agent group(s), RFC 9309 group
+    """Parse robots.txt bodies into (host, rule, path_prefix, pattern)
+    rows for the wildcard ('*') user-agent group(s), RFC 9309 group
     semantics: consecutive User-agent lines open a group, Allow /
     Disallow lines belong to the most recent group, '#' starts a
     comment.  Empty Disallow values (allow-all) produce no row.
+
+    ``host`` must be the full lowercased host the robots.txt was
+    fetched from (see module note above).  ``pattern`` is the rule
+    compiled once to an anchored regex when it uses RFC 9309 '*'/'$'
+    wildcards, else null (literal prefix — matched via startswith).
 
     Parsing runs in mapInPandas because robots bodies are a TINY side
     input (one short text per host — never the corpus side); the
@@ -181,7 +371,7 @@ def parse_robots_rules(
     def gen(batches):
         for b in batches:
             rows = []
-            for domain, body in zip(b[domain_col], b[body_col]):
+            for host, body in zip(b[host_col], b[body_col]):
                 agents: list[str] = []
                 in_rules = False
                 for line in (body or "").splitlines():
@@ -201,18 +391,21 @@ def parse_robots_rules(
                         if "*" in agents and value:
                             rows.append(
                                 {
-                                    "domain": domain,
+                                    "host": host,
                                     "rule": field,
                                     "path_prefix": value,
+                                    "pattern": _robots_rule_regex(value),
                                 }
                             )
             yield pd.DataFrame(
-                rows, columns=["domain", "rule", "path_prefix"]
+                rows, columns=["host", "rule", "path_prefix", "pattern"]
             )
 
     return robots.select(
-        F.col(domain_col).alias(domain_col), F.col(body_col).alias(body_col)
-    ).mapInPandas(gen, schema="domain string, rule string, path_prefix string")
+        F.col(host_col).alias(host_col), F.col(body_col).alias(body_col)
+    ).mapInPandas(
+        gen, schema="host string, rule string, path_prefix string, pattern string"
+    )
 
 
 def robots_disallow_filter(
@@ -220,38 +413,50 @@ def robots_disallow_filter(
 ) -> DataFrame:
     """Drop pages a site's robots.txt disallows for '*' agents.
 
-    Longest-match decides, Allow wins ties (the Google/RFC 9309
-    precedence rule); prefixes are literal (no '*'/'$' wildcards —
-    documented simplification).  The rules aggregate to ONE array row
-    per host and broadcast, and the match is a JVM higher-order filter
-    over that array — the 100 TB pages side never shuffles and needs
-    no per-page grouping.
+    Longest-match decides — RFC 9309 §2.2.2: most octets in the RULE
+    (wildcards count as written) — and Allow wins ties.  Rules with
+    '*'/'$' wildcards match via their precompiled anchored regex
+    (``pattern`` column from :func:`parse_robots_rules`; recomputed
+    here if absent), literal rules via startswith.  Rules key on the
+    full lowercased HOST (see module note) and aggregate to ONE array
+    row per host that joins as a broadcast; the match is a JVM
+    higher-order filter over that array — the 100 TB pages side never
+    shuffles and needs no per-page grouping.  Pages' own columns
+    (including any ``domain``/``host``) pass through untouched.
     """
-    for c in ("_host", "_path", "_rules"):
+    for c in ("_host", "_path", "_rules", "_rhost"):
         if c in pages.columns:
             raise ValueError(
                 f"robots_disallow_filter reserves column name {c!r}; "
                 "rename it in the input first"
             )
-    rule_arrays = rules.groupBy(F.col("domain")).agg(
-        F.collect_list(F.struct("rule", "path_prefix")).alias("_rules")
+    key = "host" if "host" in rules.columns else "domain"  # legacy key name
+    if "pattern" not in rules.columns:
+        rules = rules.withColumn("pattern", _robots_rule_regex_col(F.col("path_prefix")))
+    rule_arrays = rules.groupBy(F.col(key).alias("_rhost")).agg(
+        F.collect_list(F.struct("rule", "path_prefix", "pattern")).alias("_rules")
     )
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#:]+)", 1))
-    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    # RFC 9309 §2.2.2 matches rules against path PLUS query (rules like
+    # '/*?sessionid=' exist to target query strings); fragment excluded
+    pathq = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/?#]+([^#]*)", 1)
     tagged = pages.withColumn("_host", host).withColumn(
-        "_path", F.when(path == "", "/").otherwise(path)
+        "_path",
+        F.when(pathq == "", "/")
+        .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+        .otherwise(pathq),
     )
     j = tagged.join(
         F.broadcast(rule_arrays),
-        tagged["_host"] == rule_arrays["domain"],
+        tagged["_host"] == rule_arrays["_rhost"],
         "left",
     )
+    empty = "array<struct<rule:string,path_prefix:string,pattern:string>>"
     matches = F.filter(
-        F.coalesce(
-            F.col("_rules"),
-            F.array().cast("array<struct<rule:string,path_prefix:string>>"),
-        ),
-        lambda r: F.col("_path").startswith(r["path_prefix"]),
+        F.coalesce(F.col("_rules"), F.array().cast(empty)),
+        lambda r: F.when(
+            r["pattern"].isNull(), F.col("_path").startswith(r["path_prefix"])
+        ).otherwise(F.regexp_like(F.col("_path"), r["pattern"])),
     )
     longest = lambda kind: F.array_max(  # noqa: E731
         F.transform(
@@ -261,4 +466,4 @@ def robots_disallow_filter(
     )
     dis, alw = longest("disallow"), longest("allow")
     keep = dis.isNull() | (alw.isNotNull() & (alw >= dis))
-    return j.filter(keep).drop("_host", "_path", "_rules", "domain")
+    return j.filter(keep).drop("_host", "_path", "_rules", "_rhost")
