@@ -6,7 +6,16 @@ components: LSH + iterative label propagation; exact-dedup apply: one
 window shuffle on the content hash) over the same synthetic corpus at
 local[4] vs local[16] in fresh subprocesses, best-of-N per level
 (SCALING_DEDUP_TRIALS, default 2), and writes SCALING_DEDUP.json
-(embedded into bench.py's JSON line).
+(bench.py's JSON line points at it; never embedded — round 3's
+embedding made the bench line unparseable).
+
+The hash_only_control (same scan + normalize + md5, ZERO shuffles)
+always runs IN THE SAME INVOCATION, trial-interleaved with the ops, so
+the hardware-ceiling claim is a measured same-session ratio
+(``control_ratio`` = op_eff / control_eff, pass at >= 0.85) rather
+than a cross-session narrative: on this box the shared memory bus caps
+even shuffle-free scaling, and an op that scales within 85% of that
+no-shuffle ceiling is plan-healthy.
 """
 
 from __future__ import annotations
@@ -123,23 +132,19 @@ def _worker(cpus: int, op: str, path: str) -> None:
     spark.stop()
 
 
-def _run(cpus: int, op: str, path: str, trials: int) -> float:
-    best = None
-    for _ in range(trials):
-        env = dict(os.environ, SCALING_DEDUP_WORKER=f"{cpus}:{op}:{path}")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800,
+def _run_once(cpus: int, op: str, path: str) -> float:
+    env = dict(os.environ, SCALING_DEDUP_WORKER=f"{cpus}:{op}:{path}")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"worker local[{cpus}] {op} failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
         )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if out.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"worker local[{cpus}] {op} failed (rc={out.returncode}); "
-                f"stderr tail:\n{out.stderr[-2000:]}"
-            )
-        secs = json.loads(lines[-1])["secs"]
-        best = secs if best is None else min(best, secs)
-    return best
+    return json.loads(lines[-1])["secs"]
 
 
 def main() -> None:
@@ -155,6 +160,10 @@ def main() -> None:
     trials = int(os.environ.get("SCALING_DEDUP_TRIALS", "2"))
     only = os.environ.get("SCALING_DEDUP_OPS")
     ops = tuple(only.split(",")) if only else OP_NAMES
+    # the control is the denominator of every op's control_ratio — it
+    # must come from the SAME invocation, so force it into every run
+    if "hash_only_control" not in ops:
+        ops = ops + ("hash_only_control",)
     base = tempfile.mkdtemp(prefix="dedup_scaling_")
     spark = get_spark(app="dedup-scaling-gen", master="local[32]")
     paths = {}
@@ -166,11 +175,22 @@ def main() -> None:
     spark.stop()
     results = {}
     try:
+        # trial-INTERLEAVED: every trial visits every (op, cores) cell
+        # before any cell gets its second trial, so the control and the
+        # ops sample the same box conditions (thermal/background
+        # drift), best-of-trials per cell
+        times: dict[tuple[str, int], float] = {}
+        for _t in range(trials):
+            for op in ops:
+                nd, wpd = OP_CORPUS[op]
+                path = paths[(nd, wpd)]
+                for cpus in (4, 16):
+                    secs = _run_once(cpus, op, path)
+                    key = (op, cpus)
+                    times[key] = min(times.get(key, secs), secs)
         for op in ops:
             nd, wpd = OP_CORPUS[op]
-            path = paths[(nd, wpd)]
-            t4 = _run(4, op, path, trials)
-            t16 = _run(16, op, path, trials)
+            t4, t16 = times[(op, 4)], times[(op, 16)]
             eff = (t4 / t16) / 4
             results[op] = {
                 "docs": nd,
@@ -201,20 +221,29 @@ def main() -> None:
         except (json.JSONDecodeError, OSError):
             pass
     # verdict: an op passes outright at >= 0.8, or is HARDWARE-CAPPED
-    # when it reaches >= 80% of the hash_only_control's efficiency —
-    # the control runs the same scan+normalize+md5 with NO shuffle, so
-    # falling with it means the shared memory bus (streaming GBs of
-    # strings through one socket), not the plan, is the local ceiling.
-    # On a real cluster each node has its own bus and shuffles cross a
-    # network the control never touches.
-    ctl = merged.get("hash_only_control", {}).get("scaling_efficiency")
+    # when its SAME-SESSION control_ratio (op_eff / control_eff) is
+    # >= 0.85 — the control runs the same scan+normalize+md5 with NO
+    # shuffle, so falling with it means the shared memory bus
+    # (streaming GBs of strings through one socket), not the plan, is
+    # the local ceiling.  On a real cluster each node has its own bus
+    # and shuffles cross a network the control never touches.  Ratios
+    # are only computed for ops measured in THIS invocation (trial-
+    # interleaved with the control); ops merged from a prior partial
+    # run keep their recorded numbers but get no fresh ratio.
+    ctl = results.get("hash_only_control", {}).get("scaling_efficiency")
     for name, r in merged.items():
-        if not r["pass"] and ctl and name != "hash_only_control":
-            r["hardware_capped"] = r["scaling_efficiency"] >= 0.8 * ctl
+        if name == "hash_only_control":
+            continue
+        if ctl and name in results:
+            ratio = r["scaling_efficiency"] / ctl
+            r["control_ratio"] = round(ratio, 3)
+            r["control_ratio_target"] = 0.85
+            r["hardware_capped"] = (not r["pass"]) and ratio >= 0.85
     summary = {
         "ops": merged,
         "target": 0.8,
         "control_efficiency": ctl,
+        "control_same_session": True,
         "pass": all(
             r["pass"] or r.get("hardware_capped", False)
             for name, r in merged.items()

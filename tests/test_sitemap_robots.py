@@ -52,6 +52,51 @@ def test_read_sitemap_urls_and_index(spark, tmp_path):
     assert len(out) == 3
 
 
+def _idx(*locs):
+    items = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+    return f'<?xml version="1.0"?><sitemapindex>{items}</sitemapindex>'
+
+
+def _urlset(*locs):
+    items = "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+    return f'<?xml version="1.0"?><urlset>{items}</urlset>'
+
+
+def test_read_sitemap_tree_recurses_bounded_and_cycle_safe(spark, tmp_path):
+    from vlm_ocr_pipeline_spark.sources.sitemap import read_sitemap_tree
+
+    base = "https://example.org/"
+    # root index -> (leaf-1 urlset, second index); second index ->
+    # (root index AGAIN = cycle, leaf-2 urlset)
+    (tmp_path / "root.xml").write_text(_idx(base + "leaf1.xml", base + "idx2.xml"))
+    (tmp_path / "idx2.xml").write_text(_idx(base + "root.xml", base + "leaf2.xml"))
+    (tmp_path / "leaf1.xml").write_text(_urlset(base + "a", base + "b"))
+    (tmp_path / "leaf2.xml").write_text(_urlset(base + "c"))
+
+    resolve = lambda u: str(tmp_path / u.rsplit("/", 1)[1])  # noqa: E731
+    out = read_sitemap_tree(
+        spark, str(tmp_path / "root.xml"), max_depth=3, resolve=resolve
+    ).toPandas()
+    got = dict(zip(out["url"], out["depth"]))
+    # leaf1 found at depth 1, leaf2 at depth 2; the cycle back to
+    # root.xml re-reads it once (first visit) but never loops
+    assert got == {base + "a": 1, base + "b": 1, base + "c": 2}
+    assert out["kind"].eq("url").all()
+
+    # depth cap: max_depth=1 stops before the second index's children
+    shallow = read_sitemap_tree(
+        spark, str(tmp_path / "root.xml"), max_depth=1, resolve=resolve
+    ).toPandas()
+    assert set(shallow["url"]) == {base + "a", base + "b"}
+
+    # resolve -> None skips a child instead of failing
+    res2 = lambda u: None if "leaf2" in u else resolve(u)  # noqa: E731
+    skipped = read_sitemap_tree(
+        spark, str(tmp_path / "root.xml"), max_depth=3, resolve=res2
+    ).toPandas()
+    assert set(skipped["url"]) == {base + "a", base + "b"}
+
+
 ROBOTS = """# comment line
 User-agent: SpecialBot
 Disallow: /everything

@@ -112,6 +112,73 @@ def test_media_plumbing_stub_and_fake(spark):
     assert a == b
 
 
+# real tiny image byte fixtures (headers only — the parser never reads
+# pixel data, so truncating after the header is a legal fixture)
+PNG_37x73 = (
+    b"\x89PNG\r\n\x1a\n"
+    + (13).to_bytes(4, "big") + b"IHDR"
+    + (37).to_bytes(4, "big") + (73).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+)
+JPEG_512x256 = (
+    b"\xff\xd8"                                  # SOI
+    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+    + b"\x00\x48\x00\x48\x00\x00"                # APP0
+    + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(64)  # DQT
+    + b"\xff\xc0" + (17).to_bytes(2, "big")      # SOF0 (baseline)
+    + b"\x08" + (256).to_bytes(2, "big") + (512).to_bytes(2, "big")
+    + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+)
+JPEG_PROGRESSIVE_40x30 = (
+    b"\xff\xd8" + b"\xff\xff"                    # fill byte tolerated
+    + b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"  # DHT skipped
+    + b"\xff\xc2" + (17).to_bytes(2, "big")      # SOF2 (progressive)
+    + b"\x08" + (30).to_bytes(2, "big") + (40).to_bytes(2, "big")
+    + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+)
+GIF_320x200 = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\xf7\x00\x00"
+
+
+def test_parse_image_dimensions_real_headers():
+    pid = multimodal.parse_image_dimensions
+    assert pid(PNG_37x73) == (37, 73)
+    assert pid(JPEG_512x256) == (512, 256)
+    assert pid(JPEG_PROGRESSIVE_40x30) == (40, 30)
+    assert pid(GIF_320x200) == (320, 200)
+    # corrupt / non-image inputs return None, never raise
+    assert pid(None) is None
+    assert pid(b"") is None
+    assert pid(b"\x89PNG\r\n\x1a\n\x00\x00") is None          # truncated IHDR
+    assert pid(JPEG_512x256[:20]) is None                      # cut before SOF
+    assert pid(b"\xff\xd8\xff\xda\x00\x04ab") is None          # SOS before SOF
+    assert pid(b"plain text, not an image") is None
+    assert pid(multimodal.deterministic_fake_resizer("image", b"x", 8, 8)) is None
+
+
+def test_header_decoder_real_dims_through_media_features(spark):
+    """extract_media_features + header_decoder: REAL width/height for
+    actual image bytes; everything else degrades to status rows."""
+    rows = [
+        (1, "image", "png", PNG_37x73, len(PNG_37x73)),
+        (2, "image", "jpeg", JPEG_512x256, len(JPEG_512x256)),
+        (3, "image", "gif", GIF_320x200, len(GIF_320x200)),
+        (4, "audio", "mp3", b"ID3\x03payload", 12),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = (
+        multimodal.extract_media_features(media, multimodal.header_decoder)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (37, 73)
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (512, 256)
+    assert (out.loc[3, "width"], out.loc[3, "height"]) == (320, 200)
+    assert out.loc[1:3, "status"].eq("decoded").all()
+    assert out.loc[4, "status"] == "stubbed:no_codec"
+    # sniff_format agrees with the parser on the real fixtures
+    assert multimodal.sniff_format(GIF_320x200) == "gif"
+
+
 def test_media_summary_prunes_payload(spark):
     media = multimodal.synth_media(spark, 50, partitions=2)
     out = multimodal.media_metadata_summary(media).toPandas()

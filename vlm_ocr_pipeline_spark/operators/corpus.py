@@ -49,9 +49,15 @@ def pack_token_shards(
     text_col: str = "text",
     num_range_partitions: int | None = None,
     checkpoint: bool = True,
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """Pack documents (in id order) into shards of ~``tokens_per_shard``
     whitespace tokens: shard_id = floor(exclusive_prefix_sum / budget).
+    With ``bpe_merges`` (a trained merge list from
+    :func:`~vlm_ocr_pipeline_spark.operators.bpe.train_bpe_vocab`),
+    budgets count LEARNED subword tokens instead — the real
+    training-run shard unit; the regex-free whitespace count stays the
+    oracle-checked default.
 
     Scale shape: a naive global window (Window.orderBy with no
     partition) funnels the whole table through ONE task.  Instead the
@@ -72,12 +78,22 @@ def pack_token_shards(
     """
     sess = docs.sparkSession
     p = num_range_partitions or sess.sparkContext.defaultParallelism
-    tok = F.size(_words(F.col(text_col)))
+    if bpe_merges is not None:
+        from .bpe import apply_bpe
+
+        counted = apply_bpe(docs, bpe_merges, id_col, text_col).select(
+            F.col(id_col).alias("doc_id"),
+            F.col("n_bpe_tokens").cast("long").alias("n_tokens"),
+        )
+    else:
+        tok = F.size(_words(F.col(text_col)))
+        counted = docs.select(
+            F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens")
+        )
     # repartitionByRange is itself the spreading shuffle — no
     # spread_narrow needed (it would just add a second shuffle)
     base = (
-        docs.select(F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens"))
-        .repartitionByRange(p, "doc_id")
+        counted.repartitionByRange(p, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy("doc_id")

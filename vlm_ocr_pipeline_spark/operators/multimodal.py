@@ -48,6 +48,7 @@ FEATURE_SCHEMA = T.StructType(
 _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
     b"RIFF": "riff",  # wav/avi
     b"OggS": "ogg",
     b"\x00\x00\x00\x18ftyp": "mp4",
@@ -62,6 +63,79 @@ def sniff_format(payload: bytes | None) -> str:
         if payload[: len(magic)] == magic:
             return name
     return "unknown"
+
+
+def parse_image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from PNG IHDR / JPEG SOF / GIF headers — a pure
+    header scan, NO pixel decode and no codec library, so it runs in
+    this container on real image bytes.  Returns None when the payload
+    is not a recognized image or the header is truncated/corrupt.
+
+    - PNG: the IHDR chunk is mandatory and first (offset 16: width,
+      height as big-endian u32).
+    - JPEG: walk the marker segments to the first SOF frame header
+      (C0-CF minus C4/C8/CC), which carries height then width as
+      big-endian u16; stops at SOS (entropy-coded data follows).
+    - GIF: logical screen width/height, little-endian u16 at offset 6.
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(p) >= 24 and p[12:16] == b"IHDR":
+            return (
+                int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"),
+            )
+        return None
+    if p[:2] == b"\xff\xd8":
+        i, n = 2, len(p)
+        while i + 4 <= n:
+            if p[i] != 0xFF:
+                return None  # desynced marker stream
+            marker = p[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    return (
+                        int.from_bytes(p[i + 7 : i + 9], "big"),   # width
+                        int.from_bytes(p[i + 5 : i + 7], "big"),   # height
+                    )
+                return None
+            if marker == 0xDA:  # SOS — no SOF seen before image data
+                return None
+            i += 2 + seglen
+        return None
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        return (
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    return None
+
+
+def header_decoder(kind: str, payload: bytes) -> dict:
+    """Codec-free decoder for :func:`extract_media_features`: REAL
+    width/height from the image file header (see
+    :func:`parse_image_dimensions`), no pixel features (``features``
+    stays null — that step still needs a codec).  Non-image payloads
+    and unparseable headers raise NotImplementedError so they surface
+    as 'stubbed:no_codec' status rows, same as :func:`real_decoder`."""
+    dims = parse_image_dimensions(payload)
+    if dims is None:
+        raise NotImplementedError(
+            f"kind={kind!r}: not a parseable PNG/JPEG/GIF header; pixel "
+            "decode needs an injected codec decode_fn"
+        )
+    return {"width": dims[0], "height": dims[1], "n_frames": 1, "features": None}
 
 
 def real_decoder(kind: str, payload: bytes) -> dict:

@@ -40,11 +40,19 @@ def _count_occurrences(haystack: Column, needle: str) -> Column:
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_count(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bpe_merges: list | None = None,
+) -> DataFrame:
     """Whitespace tokens, a BPE-ish regex pre-token count, and the
-    chars/4 rule-of-thumb subword estimate."""
+    chars/4 rule-of-thumb subword estimate.  With ``bpe_merges`` (from
+    :func:`~vlm_ocr_pipeline_spark.operators.bpe.train_bpe_vocab`) an
+    extra ``n_bpe_vocab_tokens`` column counts the LEARNED subword
+    tokens (joined on id — the default output stays oracle-stable)."""
     norm = _norm(F.col(text_col))
-    return docs.select(
+    out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_words(F.col(text_col))).alias("n_tokens"),
         F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
@@ -53,6 +61,15 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.ceil(F.length(norm) / 4).cast("int").alias("n_subwords_est"),
         F.length(norm).alias("n_chars"),
     )
+    if bpe_merges is not None:
+        from .bpe import apply_bpe
+
+        learned = apply_bpe(docs, bpe_merges, id_col, text_col).select(
+            F.col(id_col).alias("doc_id"),
+            F.col("n_bpe_tokens").alias("n_bpe_vocab_tokens"),
+        )
+        out = out.join(learned, "doc_id")
+    return out
 
 
 def token_fingerprints(

@@ -24,8 +24,8 @@ _LOC = r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>"
 _LASTMOD = r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
 
 
-def read_sitemap(spark: SparkSession, path: str) -> DataFrame:
-    """Parse every sitemap file under ``path``.
+def read_sitemap(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parse every sitemap file under ``path`` (or an explicit list).
 
     Output: (sitemap_file, kind, url, lastmod) — ``kind`` is 'url' for
     page entries and 'sitemap' for index entries pointing at child
@@ -58,3 +58,56 @@ def read_sitemap(spark: SparkSession, path: str) -> DataFrame:
     return entries("url", _URL_BLOCK).unionByName(
         entries("sitemap", _SITEMAP_BLOCK)
     )
+
+
+def read_sitemap_tree(
+    spark: SparkSession,
+    path: str,
+    max_depth: int = 3,
+    resolve=None,
+) -> DataFrame:
+    """Recurse through sitemap INDEXES to a bounded depth and return
+    every page entry found, with the level it came from.
+
+    Real sitemap trees are 2-3 levels deep (index -> index -> urlset),
+    so every caller of :func:`read_sitemap` ends up writing the same
+    loop; this is that loop, cycle-safe and bounded.  Per level the
+    driver collects only the child SITEMAP urls — the protocol caps an
+    index at 50k entries, so the collect is bounded side metadata, and
+    page urls stay distributed (each level's frame is unioned lazily,
+    never collected).
+
+    ``resolve(url) -> path | None`` maps a declared child-sitemap URL
+    to a readable path (a crawl stores fetched sitemaps in a mirror
+    directory); ``None`` skips the child.  The default is identity —
+    right when entries already reference readable paths, e.g. local
+    fixtures or a mounted mirror keyed by URL.
+
+    Output: (sitemap_file, kind='url', url, lastmod, depth).
+    """
+    if resolve is None:
+        resolve = lambda u: u  # noqa: E731
+    frame = read_sitemap(spark, path).withColumn("depth", F.lit(0))
+    out = frame.filter(F.col("kind") == "url")
+    seen: set[str] = set()
+    for depth in range(1, max_depth + 1):
+        children = [
+            r["url"]
+            for r in frame.filter(F.col("kind") == "sitemap")
+            .select("url")
+            .distinct()
+            .collect()
+        ]
+        paths = []
+        for u in children:
+            if u in seen:
+                continue
+            seen.add(u)
+            p = resolve(u)
+            if p is not None:
+                paths.append(p)
+        if not paths:
+            break
+        frame = read_sitemap(spark, paths).withColumn("depth", F.lit(depth))
+        out = out.unionByName(frame.filter(F.col("kind") == "url"))
+    return out
