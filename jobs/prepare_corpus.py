@@ -4,7 +4,12 @@ The full post-extraction preparation chain a training-data pipeline
 runs, composed from this package's operators:
 
     0. blocklist         drop blocked registrable domains
-                         (broadcast anti-join, pre-extraction)
+                         (broadcast anti-join, pre-extraction;
+                         --psl resolves eTLD+1 through the real
+                         public-suffix list)
+    0b. robots           drop pages robots.txt disallows for '*'
+                         agents (RFC 9309 incl. wildcard rules;
+                         broadcast rule arrays, pre-extraction)
     1. extract           fused detect -> order -> correct -> render
     2. quality/lang      token counts, quality ratios, language ID,
                          Gopher-style repetition gate, optional
@@ -18,6 +23,9 @@ runs, composed from this package's operators:
                          keep cluster representatives
     5. split             deterministic train/test assignment
     6. shard packing     fixed-token-budget shards for the tokenizer
+                         (--bpe-merges trains a BPE vocab on the
+                         deduped corpus and budgets shards in learned
+                         subword tokens, writing bpe_merges.json)
     7. epoch shuffle     optional deterministic training order
                          (total sort by xxhash64(doc_id, seed))
 
@@ -66,6 +74,18 @@ def main() -> None:
     ap.add_argument("--lsh-bands", type=int, default=4)
     ap.add_argument("--blocklist", default="",
                     help="comma-separated registrable domains to drop")
+    ap.add_argument("--psl", default="",
+                    help="'builtin' (bundled snapshot) or a public-"
+                         "suffix-list file; resolves blocklist domains "
+                         "through the real PSL instead of the heuristic")
+    ap.add_argument("--robots", default="",
+                    help="parquet of (host, body) robots.txt fetches; "
+                         "pages disallowed for '*' agents are dropped "
+                         "pre-extraction (RFC 9309 incl. wildcards)")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="if > 0, train a BPE vocab of this many merges "
+                         "on the deduped corpus, pack shards by LEARNED "
+                         "token counts, and write bpe_merges.json")
     ap.add_argument("--scrub-span-ngram", type=int, default=0,
                     help="if > 0, remove word spans covered by n-grams "
                          "shared across docs (substring-level dedup)")
@@ -119,11 +139,29 @@ def main() -> None:
     # a string expression + broadcast anti-join; dropping it after
     # costs a full parse
     if args.blocklist:
-        from vlm_ocr_pipeline_spark.operators.urls import blocklist_filter
+        from vlm_ocr_pipeline_spark.operators.urls import blocklist_filter, load_psl
 
+        psl = None
+        if args.psl == "builtin":
+            psl = load_psl(spark)
+        elif args.psl:
+            with open(args.psl) as f:
+                psl = load_psl(spark, f.read().splitlines())
         domains = [d.strip() for d in args.blocklist.split(",") if d.strip()]
-        pages = blocklist_filter(pages, domains)
+        pages = blocklist_filter(pages, domains, psl=psl)
         report["blocklist_domains"] = len(domains)
+
+    # 0b. robots.txt compliance BEFORE extraction — the rules broadcast
+    # as one array row per host, so this is also shuffle-free on pages
+    if args.robots:
+        from vlm_ocr_pipeline_spark.operators.urls import (
+            parse_robots_rules,
+            robots_disallow_filter,
+        )
+
+        rules = parse_robots_rules(spark.read.parquet(args.robots))
+        pages = robots_disallow_filter(pages, rules)
+        report["robots_hosts"] = rules.select("host").distinct().count()
 
     # 1. extraction (plaintext is the training text).  doc_id keys on
     # the FULL (url, warc_ts) identity — recrawls of one url are
@@ -218,9 +256,22 @@ def main() -> None:
     docs = docs.join(reps, "doc_id").cache()
     report["after_neardup_dedup"] = docs.count()
 
-    # 5 + 6. split and shard
+    # 5 + 6. split and shard.  With --bpe-merges the shard budget
+    # counts LEARNED subword tokens: the vocab trains on the deduped
+    # corpus (distributed word count, driver merge loop) and the merge
+    # list lands next to the corpus so the training run tokenizes with
+    # exactly the vocabulary the shards were budgeted in.
     split = deterministic_split(docs, args.test_fraction)
-    shards = pack_token_shards(docs, args.tokens_per_shard)
+    merges = None
+    if args.bpe_merges > 0:
+        from vlm_ocr_pipeline_spark.operators.bpe import train_bpe_vocab
+
+        merges = train_bpe_vocab(docs, num_merges=args.bpe_merges)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "bpe_merges.json"), "w") as f:
+            json.dump([list(p) for p in merges], f)
+        report["bpe_merges"] = len(merges)
+    shards = pack_token_shards(docs, args.tokens_per_shard, bpe_merges=merges)
     corpus = docs.join(split, "doc_id").join(shards, "doc_id")
 
     # 7. optional deterministic epoch order for the tokenizer reader

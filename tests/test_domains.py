@@ -133,6 +133,27 @@ def test_registrable_domain_psl_custom_list_and_guard(spark):
         registrable_domain_psl(bad)
 
 
+def test_blocklist_filter_with_psl_distinguishes_platform_sites(spark):
+    """PSL-resolved blocklist: blocking spam.github.io must drop only
+    that site — the heuristic collapses every *.github.io page into
+    'github.io' and can't express this."""
+    from vlm_ocr_pipeline_spark.operators.urls import load_psl
+
+    df = spark.createDataFrame(
+        [
+            ("https://spam.github.io/a", 1),
+            ("https://sub.spam.github.io/b", 2),  # same registrable site
+            ("https://good.github.io/c", 3),
+        ],
+        "url string, id int",
+    )
+    psl = load_psl(spark)
+    kept = blocklist_filter(df, ["spam.github.io"], psl=psl)
+    assert sorted(r["id"] for r in kept.collect()) == [3]
+    # heuristic path would key all three under github.io -> block all
+    assert blocklist_filter(df, ["github.io"]).count() == 0
+
+
 def test_blocklist_filter_reserved_column_guard(spark):
     import pytest as _pytest
 

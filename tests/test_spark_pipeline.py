@@ -202,19 +202,33 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
     pd.DataFrame(
         {"doc_id": [1], "text": [" ".join("zq" * 3 for _ in range(20))]}
     ).to_parquet(eval_path)
+    robots_path = str(tmp_path / "robots.parquet")
+    pd.DataFrame(
+        {
+            "host": ["hot.example.com"],
+            # wildcard rule on a path no synthetic page uses: exercises
+            # the RFC 9309 path through the driver without changing the
+            # count invariants below
+            "body": ["User-agent: *\nDisallow: /private/*\n"],
+        }
+    ).to_parquet(robots_path)
     out = subprocess.run(
         [
             sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
             "--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
             "--synthesize", "300", "--tokens-per-shard", "5000",
             "--test-fraction", "0.1",
-            # exercise the optional stages: a non-matching blocklist,
+            # exercise the optional stages: a non-matching blocklist
+            # resolved through the bundled PSL, robots compliance,
             # substring-level span scrub, deterministic epoch order,
-            # a generous perplexity ceiling, disjoint-eval decontamination
-            "--blocklist", "blocked.example.net",
+            # a generous perplexity ceiling, disjoint-eval
+            # decontamination, and BPE-budgeted shards
+            "--blocklist", "blocked.example.net", "--psl", "builtin",
+            "--robots", robots_path,
             "--scrub-span-ngram", "8", "--epoch-seed", "e1",
             "--max-bits-per-byte", "7.9",
             "--decontaminate-against", eval_path,
+            "--bpe-merges", "30",
         ],
         capture_output=True, text=True, timeout=420,
         env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
@@ -225,6 +239,10 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
     )
     assert report["pages_in"] == 300
     assert report["blocklist_domains"] == 1
+    assert report["robots_hosts"] == 1
+    assert report["bpe_merges"] == 30
+    merges = json.load(open(os.path.join(str(tmp_path / "out"), "bpe_merges.json")))
+    assert len(merges) == 30 and all(len(p) == 2 for p in merges)
     assert (
         report["pages_in"] >= report["after_quality_gate"]
         >= report["after_perplexity_gate"]

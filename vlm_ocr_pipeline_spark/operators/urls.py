@@ -283,7 +283,10 @@ def registrable_domain_psl(
 
 
 def blocklist_filter(
-    pages: DataFrame, blocked_domains: list[str] | DataFrame, url_col: str = "url"
+    pages: DataFrame,
+    blocked_domains: list[str] | DataFrame,
+    url_col: str = "url",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Drop pages whose registrable domain is on a blocklist.
 
@@ -292,7 +295,10 @@ def blocklist_filter(
     always broadcastable — so the corpus side never shuffles.  Accepts
     a Python list (driver-side lists come from config files) or a
     single-column DataFrame named ``domain`` (blocklists maintained as
-    tables)."""
+    tables).  With ``psl`` (a :func:`load_psl` table) the domain key
+    resolves through the real public-suffix list — still broadcast
+    joins only — so blocked platform domains like ``spam.github.io``
+    match exactly instead of collapsing into ``github.io``."""
     if "_dom" in pages.columns:  # same guard pattern as asof.py
         raise ValueError(
             "blocklist_filter reserves the temporary column name '_dom'; "
@@ -305,7 +311,10 @@ def blocklist_filter(
         bl = spark.createDataFrame(
             [(d.lower(),) for d in blocked_domains], "domain string"
         )
-    tagged = pages.withColumn("_dom", registrable_domain(F.col(url_col)))
+    if psl is not None:
+        tagged = registrable_domain_psl(pages, psl, url_col=url_col, out_col="_dom")
+    else:
+        tagged = pages.withColumn("_dom", registrable_domain(F.col(url_col)))
     return (
         tagged.join(
             F.broadcast(bl), tagged["_dom"] == bl["domain"], "left_anti"
