@@ -20,7 +20,10 @@ runs, composed from this package's operators:
     3b. span scrub       optional substring-level dedup (remove word
                          spans covered by cross-doc duplicate n-grams)
     4. near-dup dedup    MinHash-LSH pairs -> connected components ->
-                         keep cluster representatives
+                         keep cluster representatives; --dedup-store
+                         switches to INCREMENTAL mode (filter against
+                         the persistent bucket state of all prior
+                         batches, append this batch's delta)
     5. split             deterministic train/test assignment
     6. shard packing     fixed-token-budget shards for the tokenizer
                          (--bpe-merges trains a BPE vocab on the
@@ -89,6 +92,13 @@ def main() -> None:
     ap.add_argument("--scrub-span-ngram", type=int, default=0,
                     help="if > 0, remove word spans covered by n-grams "
                          "shared across docs (substring-level dedup)")
+    ap.add_argument("--dedup-store", default="",
+                    help="parquet dir of LSH bucket state (8-byte keys, "
+                         "no text). When set, near-dup dedup runs "
+                         "INCREMENTALLY: this batch filters against the "
+                         "store (its scan never shuffles or broadcasts) "
+                         "and appends its own delta — the continuous-"
+                         "crawl mode. First run seeds the store.")
     ap.add_argument("--epoch-seed", default="",
                     help="if set, write the corpus in deterministic "
                          "shuffled order keyed by this seed")
@@ -246,15 +256,42 @@ def main() -> None:
         )
         report["after_span_scrub"] = docs.count()
 
-    # 4. near-dup dedup: keep each LSH cluster's representative
-    clusters = neardup_clusters(
-        docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
-    )
-    reps = clusters.filter(F.col("doc_id") == F.col("representative")).select(
-        "doc_id"
-    )
-    docs = docs.join(reps, "doc_id").cache()
-    report["after_neardup_dedup"] = docs.count()
+    # 4. near-dup dedup: keep each LSH cluster's representative.  With
+    # --dedup-store, the batch ALSO dedups against every prior batch's
+    # bucket state (incremental/continuous-crawl mode) and appends its
+    # delta for the next run.
+    store = None
+    if args.dedup_store:
+        try:
+            store = spark.read.parquet(args.dedup_store)
+        except Exception:
+            store = None  # first run seeds the store below
+    if store is not None:
+        from vlm_ocr_pipeline_spark.operators.text_dedup import incremental_neardup
+
+        docs, delta = incremental_neardup(
+            docs, store, num_hashes=args.lsh_hashes, bands=args.lsh_bands
+        )
+        docs = docs.cache()
+        report["after_neardup_dedup"] = docs.count()
+        delta.write.mode("append").parquet(args.dedup_store)
+        report["dedup_store_mode"] = "incremental"
+    else:
+        clusters = neardup_clusters(
+            docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
+        )
+        reps = clusters.filter(
+            F.col("doc_id") == F.col("representative")
+        ).select("doc_id")
+        docs = docs.join(reps, "doc_id").cache()
+        report["after_neardup_dedup"] = docs.count()
+        if args.dedup_store:
+            from vlm_ocr_pipeline_spark.operators.text_dedup import lsh_bucket_store
+
+            lsh_bucket_store(
+                docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
+            ).write.mode("overwrite").parquet(args.dedup_store)
+            report["dedup_store_mode"] = "seeded"
 
     # 5 + 6. split and shard.  With --bpe-merges the shard budget
     # counts LEARNED subword tokens: the vocab trains on the deduped

@@ -186,6 +186,46 @@ def test_figure_crop_alt_alignment_skips_suppressed_imgs(spark):
     assert html[s:e] == crop
 
 
+def test_prepare_corpus_incremental_dedup_store(tmp_path):
+    """--dedup-store: run 1 seeds the bucket state; run 2 on the SAME
+    input dedups against it and keeps (almost) nothing — the
+    continuous-crawl mode."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    store = str(tmp_path / "store")
+
+    def run(n):
+        out = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
+                "--input", str(tmp_path / f"in{n}"),
+                "--output", str(tmp_path / f"out{n}"),
+                "--synthesize", "120", "--tokens-per-shard", "5000",
+                "--dedup-store", store,
+            ],
+            capture_output=True, text=True, timeout=420,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    r1 = run(1)
+    assert r1["dedup_store_mode"] == "seeded"
+    assert r1["corpus_rows"] > 0
+    r2 = run(2)
+    # identical synthetic input -> every batch-2 doc collides with the
+    # seeded store
+    assert r2["dedup_store_mode"] == "incremental"
+    assert r2["after_neardup_dedup"] == 0
+    assert r2["corpus_rows"] == 0
+
+
 def test_prepare_corpus_job_end_to_end(tmp_path):
     """jobs/prepare_corpus.py: the composed extract -> quality -> dedup
     -> split -> shard chain runs as a standalone driver and its report

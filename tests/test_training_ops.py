@@ -687,6 +687,89 @@ def test_decontaminate_flags_only_overlapping_train_docs(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def _sentence(i, salt=""):
+    base = f"snapshot document number {i} about topic {i % 7} with "
+    return base + " ".join(f"word{j}{salt}" for j in range(i % 5 + 8))
+
+
+def test_incremental_neardup_across_snapshots(spark):
+    """Cross-snapshot dedup: batch 2 filters against batch 1's bucket
+    store (no historical text re-read), dedups within itself, and its
+    delta extends the store so batch 3 catches batch-2 content too."""
+    b1 = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(10)], ["doc_id", "text"]
+    )
+    store = text_dedup.lsh_bucket_store(b1, num_hashes=8, bands=4)
+
+    b2 = spark.createDataFrame(
+        # 100+101: near-dups of batch-1 docs 3 and 7 (one word changed)
+        [(100, _sentence(3).replace("word1", "werd1"))]
+        + [(101, _sentence(7))]
+        # 102+103: internal near-dup pair, fresh content
+        + [(102, _sentence(55, salt="x")), (103, _sentence(55, salt="x") + " tail")]
+        # 104: fresh singleton
+        + [(104, _sentence(77, salt="z"))],
+        ["doc_id", "text"],
+    )
+    kept, delta = text_dedup.incremental_neardup(b2, store, num_hashes=8, bands=4)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # 101 exact-matches history -> dropped; 100 near-matches (shares
+    # bands) -> dropped; 102/103 collapse to the min id; 104 survives
+    assert kept_ids == [102, 104]
+    # the delta covers exactly the kept docs' buckets
+    expect_delta = {
+        r["bk"]
+        for r in text_dedup.lsh_bucket_store(
+            kept, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert {r["bk"] for r in delta.collect()} == expect_delta
+
+    # batch 3 against the EXTENDED store: a near-dup of kept doc 102
+    # is now caught, a fresh doc passes
+    store2 = store.unionByName(delta)
+    b3 = spark.createDataFrame(
+        [(200, _sentence(55, salt="x")), (201, _sentence(99, salt="q"))],
+        ["doc_id", "text"],
+    )
+    kept3, _ = text_dedup.incremental_neardup(b3, store2, num_hashes=8, bands=4)
+    assert [r["doc_id"] for r in kept3.collect()] == [201]
+
+
+def test_incremental_neardup_store_side_streams_into_broadcast_join(spark, tmp_path):
+    """Plan gate for the 100 TB shape: the store's parquet scan must
+    stream DIRECTLY into a BroadcastHashJoin whose build side is the
+    (small) batch — no Exchange and no BroadcastExchange between the
+    store scan and its join — and the scan must read only the pruned
+    bk column with the null filter pushed down."""
+    b1 = spark.createDataFrame(
+        [(i, _sentence(i)) for i in range(6)], ["doc_id", "text"]
+    )
+    store_path = str(tmp_path / "store")
+    text_dedup.lsh_bucket_store(b1, num_hashes=8, bands=4).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    b2 = spark.createDataFrame([(100, _sentence(3))], ["doc_id", "text"])
+    kept, _ = text_dedup.incremental_neardup(
+        b2, store, num_hashes=8, bands=4, within_batch=False
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    idx = next(
+        i for i, l in enumerate(lines) if "FileScan parquet" in l and "store" in l
+    )
+    join_idx = max(i for i in range(idx) if "Join" in lines[i])
+    join_line = lines[join_idx]
+    assert "BroadcastHashJoin" in join_line and "BuildRight" in join_line, join_line
+    # nothing between the join and the store scan except the null
+    # filter — in particular no Exchange/BroadcastExchange of the store
+    between = "\n".join(lines[join_idx + 1 : idx])
+    assert "Exchange" not in between, plan
+    # pruning + pushdown reach the store scan
+    scan_line = lines[idx]
+    assert "ReadSchema: struct<bk:bigint>" in scan_line
+    assert "PushedFilters: [IsNotNull(bk)]" in scan_line
+
+
 def test_resize_media_plumbing(spark):
     media = multimodal.synth_media(spark, 30, partitions=2).cache()
     stubbed = multimodal.resize_media(media, 64, 64).toPandas()

@@ -110,9 +110,14 @@ def pack_token_shards(
     for r in sorted(parts, key=lambda r: r["mn"]):
         offsets[r["_pid"]] = running
         running += r["t"]
-    offset_col = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )[F.col("_pid")]
+    # empty input -> empty offsets: create_map() would be VOID-typed
+    # and the [_pid] lookup fails to resolve, so use a typed 0
+    if offsets:
+        offset_col = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )[F.col("_pid")]
+    else:
+        offset_col = F.lit(0).cast("long")
     cum = F.col("_cum_local") + F.coalesce(offset_col, F.lit(0))
     shard = F.floor((cum - F.col("n_tokens")) / F.lit(tokens_per_shard))
     return local.select(

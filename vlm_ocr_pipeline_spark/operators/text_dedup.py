@@ -710,3 +710,84 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("g").cast("long").alias("n_hits"))
     )
+
+
+# ---- incremental (cross-snapshot) near-dup dedup --------------------
+# A crawl pipeline never sees the corpus at once: each monthly/daily
+# snapshot must dedup against EVERYTHING kept so far without re-reading
+# the historical text.  The state is the LSH bucket set — 8 bytes per
+# (doc, band), text-free — and each new batch both filters against it
+# and emits the delta to append.
+
+
+def lsh_bucket_store(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """The persistent dedup state for :func:`incremental_neardup`: the
+    DISTINCT band-bucket keys (``bk`` long) of a corpus.  8 bytes per
+    row, bands × n_docs rows upper bound — at 10^12 docs × 4 bands
+    that's ≤ 32 TB raw and far less after distinct + parquet encoding,
+    vs re-scanning the corpus text every batch.  Write it as parquet
+    (append the delta each batch); membership carries no doc ids —
+    callers that need provenance join the batch's buckets against
+    ``_lsh_buckets`` output instead."""
+    return _lsh_buckets(
+        docs, num_hashes, bands, id_col, text_col, n, hash_family
+    ).select("bk").distinct()
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_family: str = "md5",
+    within_batch: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW crawl batch against the historical bucket store,
+    then (optionally) within itself.  Returns ``(kept_docs,
+    new_buckets)`` — append ``new_buckets`` to the store after writing
+    the kept docs, and the next batch dedups against both.
+
+    Plan shape (the decontaminate pattern, inverted): the BATCH is the
+    small side — its distinct buckets broadcast against the store scan,
+    so the 100 TB store never shuffles and never broadcasts; the hit
+    doc-ids (tiny) broadcast back as a left-anti.  Within-batch dedup
+    then runs :func:`neardup_clusters` on the survivors only.  A batch
+    doc that collides with history is dropped entirely (none of its
+    bands join the store — the standard recall trade: its other bands
+    were near-identical to the stored doc's anyway).
+    """
+    bk = _lsh_buckets(
+        new_docs, num_hashes, bands, id_col, text_col, n, hash_family
+    )
+    hit_bks = store.select("bk").join(F.broadcast(bk.select("bk").distinct()), "bk")
+    hit_ids = (
+        bk.join(F.broadcast(hit_bks.distinct()), "bk")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    kept = new_docs.join(F.broadcast(hit_ids), id_col, "left_anti")
+    if within_batch:
+        # neardup_clusters pins n=3/md5 internally (its oracle shape)
+        clusters = neardup_clusters(
+            kept, num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col=text_col,
+        )
+        reps = clusters.filter(
+            F.col("doc_id") == F.col("representative")
+        ).select(F.col("doc_id").alias(id_col))
+        kept = kept.join(reps, id_col)
+    new_buckets = lsh_bucket_store(
+        kept, num_hashes, bands, id_col, text_col, n, hash_family
+    )
+    return kept, new_buckets
