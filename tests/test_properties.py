@@ -120,3 +120,133 @@ def test_fast_scanner_matches_stdlib_on_tag_soup(doc):
     from vlm_ocr_pipeline_spark.functions.html_extract import extract_html_page
 
     assert extract_html_page(doc, fast=True) == extract_html_page(doc, fast=False)
+
+
+# ---- round-4 surfaces: image headers, robots rules, BPE, PSL --------
+
+
+@settings(derandomize=True, max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_parse_image_dimensions_total_on_junk(payload):
+    """Any byte string: returns None or a pair of non-negative ints,
+    never raises — corrupt crawl payloads must not kill a task."""
+    from vlm_ocr_pipeline_spark.operators.multimodal import parse_image_dimensions
+
+    got = parse_image_dimensions(payload)
+    assert got is None or (
+        isinstance(got, tuple) and len(got) == 2 and all(v >= 0 for v in got)
+    )
+
+
+@settings(derandomize=True, max_examples=300, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=32),
+    st.integers(0, 2**31 - 1),
+    st.integers(0, 2**31 - 1),
+)
+def test_parse_png_dimensions_ignore_trailing_junk(junk, w, h):
+    from vlm_ocr_pipeline_spark.operators.multimodal import parse_image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + junk
+    )
+    assert parse_image_dimensions(png) == (w, h)
+
+
+_RULE_CHARS = st.text(
+    alphabet="/ab.?*$[](){}+|^\\=-", min_size=1, max_size=12
+).map(lambda s: "/" + s)
+_PATH_CHARS = st.text(
+    alphabet="/ab.?=x", min_size=1, max_size=16
+).map(lambda s: "/" + s)
+
+
+def _py_rule_match(rule: str, path: str) -> bool:
+    """Reference RFC 9309 matcher: literal prefix walk with '*' as any
+    run and trailing '$' as end anchor — independent of the regex
+    translation under test."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    segs = body.split("*")
+
+    def walk(p: str, segs: list[str]) -> bool:
+        if not p.startswith(segs[0]):
+            return False
+        pos = len(segs[0])
+        for seg in segs[1:]:
+            i = p.find(seg, pos)
+            if i < 0:
+                return False
+            pos = i + len(seg)
+        # '*' tail already matched anything; for anchored rules the
+        # LAST segment must also be able to reach the end
+        if anchored:
+            if len(segs) == 1:
+                return pos == len(p)
+            last = segs[-1]
+            return last == "" or p.endswith(last)
+        return True
+
+    return walk(path, segs)
+
+
+@settings(derandomize=True, max_examples=500, deadline=None)
+@given(_RULE_CHARS, _PATH_CHARS)
+def test_robots_rule_regex_matches_reference_walker(rule, path):
+    """The compiled rule pattern agrees with an independent wildcard
+    walker on arbitrary rules (incl. regex metacharacters, which must
+    be escaped) and paths."""
+    import re
+
+    from vlm_ocr_pipeline_spark.operators.urls import _robots_rule_regex
+
+    pat = _robots_rule_regex(rule)
+    if pat is None:
+        got = path.startswith(rule)
+    else:
+        got = re.search(pat, path) is not None
+    assert got == _py_rule_match(rule, path), (rule, path, pat)
+
+
+@settings(derandomize=True, max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(1, 50),
+        ),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 20),
+)
+def test_bpe_incremental_matches_naive_on_random_freqs(freqs, n_merges):
+    from tests.test_bpe import _naive_train
+
+    from vlm_ocr_pipeline_spark.operators import bpe
+
+    assert bpe.train_bpe_from_frequencies(freqs, n_merges) == _naive_train(
+        freqs, n_merges
+    )
+
+
+@settings(derandomize=True, max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=8),
+            st.integers(1, 30),
+        ),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.text(alphabet="abcdef", min_size=1, max_size=10),
+)
+def test_bpe_encode_word_lossless(freqs, word):
+    from vlm_ocr_pipeline_spark.operators import bpe
+
+    merges = bpe.train_bpe_from_frequencies(freqs, 15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = bpe.encode_word(word, ranks)
+    assert "".join(toks) == word + bpe.EOW
