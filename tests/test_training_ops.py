@@ -736,6 +736,39 @@ def test_incremental_neardup_across_snapshots(spark):
     assert [r["doc_id"] for r in kept3.collect()] == [201]
 
 
+def test_incremental_exact_dedup_across_snapshots(spark):
+    """Exact-only variant of the incremental store: whitespace variants
+    of history are dropped (same normalize+md5 key as
+    exact_dup_groups), near-but-not-equal content passes."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ["doc_id", "text"]
+    )
+    store = text_dedup.content_hash_store(b1)
+    b2 = spark.createDataFrame(
+        [
+            (10, "  alpha   beta gamma "),   # ws-variant of history -> drop
+            (11, "alpha beta gamma DELTA"),  # near-dup but NOT exact -> keep
+            (12, "fresh one"), (13, "fresh one"),  # internal exact pair
+        ],
+        ["doc_id", "text"],
+    )
+    kept, delta = text_dedup.incremental_exact_dedup(b2, store)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+    merged = store.unionByName(delta)
+    b3 = spark.createDataFrame(
+        [(20, "fresh  one"), (21, "never seen")], ["doc_id", "text"]
+    )
+    kept3, _ = text_dedup.incremental_exact_dedup(b3, merged)
+    assert [r["doc_id"] for r in kept3.collect()] == [21]
+    # reserved-column guard
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="_h"):
+        text_dedup.incremental_exact_dedup(
+            b2.withColumn("_h", F.lit("x")), store
+        )
+
+
 def test_incremental_neardup_store_side_streams_into_broadcast_join(spark, tmp_path):
     """Plan gate for the 100 TB shape: the store's parquet scan must
     stream DIRECTLY into a BroadcastHashJoin whose build side is the

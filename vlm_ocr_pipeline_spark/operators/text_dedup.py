@@ -742,6 +742,54 @@ def lsh_bucket_store(
     ).select("bk").distinct()
 
 
+def content_hash_store(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persistent EXACT-dedup state: the distinct md5 content hashes of
+    a corpus (same key as :func:`exact_dup_groups`, so the store is
+    debuggable against it).  md5, not a 64-bit hash: at 10^12 docs a
+    single 64-bit key expects birthday collisions, and an exact-dedup
+    false positive silently drops a unique document."""
+    return docs.select(
+        F.md5(normalize_text(F.col(text_col))).alias("h")
+    ).distinct()
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a new batch against the historical content-hash
+    store, then within itself; returns ``(kept_docs, new_hashes)`` —
+    append the delta, same protocol as :func:`incremental_neardup`
+    (whose bucket store also catches exact dups; use THIS variant when
+    only exact-match semantics are wanted — no false drops, and the
+    state is one 32-char hash per distinct content instead of
+    ``bands`` buckets per doc).
+
+    Plan shape: identical to incremental_neardup — the batch's distinct
+    hashes broadcast against the store scan (the 100 TB store never
+    shuffles or broadcasts), hits broadcast back as a left-anti, and
+    within-batch dedup is the plain min-id-per-content rule."""
+    if "_h" in new_docs.columns:
+        raise ValueError(
+            "incremental_exact_dedup reserves column name '_h'; "
+            "rename it in the input first"
+        )
+    h = F.md5(normalize_text(F.col(text_col)))
+    hashed = new_docs.withColumn("_h", h)
+    hits = store.select(F.col("h").alias("_h")).join(
+        F.broadcast(hashed.select("_h").distinct()), "_h"
+    )
+    kept = hashed.join(F.broadcast(hits.distinct()), "_h", "left_anti")
+    w_min = kept.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    kept = kept.join(w_min, [id_col, "_h"]).drop("_h")
+    new_hashes = content_hash_store(kept, id_col, text_col)
+    return kept, new_hashes
+
+
 def incremental_neardup(
     new_docs: DataFrame,
     store: DataFrame,
