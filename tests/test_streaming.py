@@ -86,6 +86,47 @@ def test_windowed_rates_on_stream(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_incremental_dedup_extract_remembers_forever(spark):
+    """foreachBatch + external parquet bucket state: content seen in
+    ANY earlier file batch is dropped in later ones — corpus-lifetime
+    memory, unlike the watermark-bounded stream_dedup_extract — and
+    the store grows by exactly the kept docs' buckets per batch."""
+    from vlm_ocr_pipeline_spark.streaming.ingest import (
+        stream_incremental_dedup_extract,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_incdedup_")
+    inp, out, ckpt, store = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/store"
+    )
+    try:
+        pages = datagen.synth_pages(spark, 24, partitions=2).cache()
+        half = pages.filter(F.xxhash64("url") % 2 == 0).cache()
+        half.write.mode("append").parquet(inp)
+        stream_incremental_dedup_extract(spark, inp, out, ckpt, store)
+        n1 = spark.read.parquet(out).count()
+        assert 0 < n1
+        store1 = spark.read.parquet(store).count()
+        assert store1 > 0
+
+        # batch 2: everything (the other half + full re-ingestion of
+        # batch 1's content under the same urls/timestamps)
+        pages.write.mode("append").parquet(inp)
+        stream_incremental_dedup_extract(spark, inp, out, ckpt, store)
+        got = spark.read.parquet(out)
+        urls = [r["url"] for r in got.select("url").collect()]
+        assert len(urls) == len(set(urls))       # nothing extracted twice
+        n2 = got.count()
+        assert n1 < n2                           # the new half came through
+        # batch 3: a third full replay of the same content -> nothing new
+        pages.write.mode("append").parquet(inp)
+        stream_incremental_dedup_extract(spark, inp, out, ckpt, store)
+        assert spark.read.parquet(out).count() == n2
+        assert spark.read.parquet(store).count() > store1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_dedup_extract_parses_distinct_payloads_once(spark):
     """Stateful streaming dedup: duplicate payloads re-ingested in a
     LATER micro-batch (and a later file batch across restarts) are

@@ -94,6 +94,75 @@ def stream_dedup_extract(
     return q
 
 
+def stream_incremental_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """Streaming extraction where every micro-batch near-dedups against
+    the PERSISTENT corpus-lifetime bucket store and appends its delta —
+    the streaming twin of ``prepare_corpus --dedup-store``.
+
+    vs :func:`stream_dedup_extract`: that keeps exact-hash state only
+    for the watermark horizon inside the engine's state store (recrawl
+    semantics, bounded state); this remembers every batch FOREVER at
+    8 bytes per (doc, band) by moving the state OUT of the streaming
+    engine into plain parquet — the only shape that survives when the
+    dedup state outgrows any state store (10^12 docs).
+
+    foreachBatch + per-batch-directory writes give idempotent replays:
+    batch N's kept docs land in ``output_dir/batch_id=N`` and its
+    bucket delta in ``store_dir/batch_id=N``, both mode=overwrite, so a
+    retried batch overwrites itself instead of duplicating.  Batch N's
+    delta is visible to batch N+1 (micro-batches run sequentially).
+    Readers take ``spark.read.parquet(output_dir)`` (batch_id becomes a
+    partition column).
+    """
+    from ..operators.text_dedup import incremental_neardup
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def handle(batch_df, batch_id: int) -> None:
+        from ..operators.text_dedup import lsh_bucket_store
+
+        sess = batch_df.sparkSession
+        ext = extract(
+            batch_df, run_id=f"stream-incdedup-{batch_id}", renderer="plaintext"
+        )
+        docs = ext.filter(F.col("status") == "complete").select(
+            "url",
+            F.xxhash64("url", "warc_ts").alias("doc_id"),
+            F.col("rendered").alias("text"),
+        )
+        try:
+            store = sess.read.parquet(store_dir).select("bk")
+        except Exception:  # first batch: no store yet
+            store = sess.createDataFrame([], "bk long")
+        kept, _ = incremental_neardup(
+            docs, store, num_hashes=num_hashes, bands=bands
+        )
+        # pin kept once: the write below and the delta both consume it,
+        # and a recompute would re-run extraction + both dedup joins
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        lsh_bucket_store(kept, num_hashes, bands).write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        pages.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_rates(
     events: DataFrame,
     window: str = "60 seconds",
