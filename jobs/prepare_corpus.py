@@ -261,11 +261,28 @@ def main() -> None:
     # bucket state (incremental/continuous-crawl mode) and appends its
     # delta for the next run.
     store = None
+    # LSH params are part of the store's identity: buckets built with
+    # different (num_hashes, bands) NEVER collide with this batch's, so
+    # a mismatched store would silently dedup nothing.  A sidecar meta
+    # file pins the params at seed time and hard-fails on mismatch.
+    meta_path = os.path.join(args.dedup_store, "_dedup_meta.json") if args.dedup_store else ""
+    meta = {"num_hashes": args.lsh_hashes, "bands": args.lsh_bands,
+            "n": 3, "hash_family": "md5"}
     if args.dedup_store:
         try:
             store = spark.read.parquet(args.dedup_store)
         except Exception:
             store = None  # first run seeds the store below
+        if store is not None and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored_meta = json.load(f)
+            if stored_meta != meta:
+                raise SystemExit(
+                    f"--dedup-store was seeded with {stored_meta} but this "
+                    f"run uses {meta}; buckets from different LSH params "
+                    "never collide, so the store would silently dedup "
+                    "nothing. Use the original params or a fresh store."
+                )
     if store is not None:
         from vlm_ocr_pipeline_spark.operators.text_dedup import incremental_neardup
 
@@ -291,6 +308,8 @@ def main() -> None:
             lsh_bucket_store(
                 docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
             ).write.mode("overwrite").parquet(args.dedup_store)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
             report["dedup_store_mode"] = "seeded"
 
     # 5 + 6. split and shard.  With --bpe-merges the shard budget

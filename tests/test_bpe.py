@@ -102,6 +102,31 @@ def test_train_and_apply_on_spark(spark):
     assert n_words < rows[0]["n_bpe_tokens"] < len(norm[0])
 
 
+def test_apply_bpe_as_ids_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "newest widest stow"), (2, "newest zzqq")],  # zzqq: unseen chars
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe_vocab(
+        spark.createDataFrame(
+            [(0, "newest widest stow " * 5)], "doc_id long, text string"
+        ),
+        num_merges=12,
+    )
+    ids_map = bpe.vocab_ids(merges)
+    inv = {v: k for k, v in ids_map.items()}
+    assert ids_map["<unk>"] == 0 and len(inv) == len(ids_map)
+    toks = {r["doc_id"]: r["bpe_tokens"] for r in bpe.apply_bpe(docs, merges).collect()}
+    ids = {r["doc_id"]: r["bpe_ids"] for r in
+           bpe.apply_bpe(docs, merges, as_ids=True).collect()}
+    # id stream maps back to the token stream wherever known
+    back = [inv[i] for i in ids[1]]
+    assert back == toks[1]
+    # doc 2 contains chars never seen in training -> some <unk> (id 0)
+    assert 0 in ids[2]
+    assert len(ids[2]) == len(toks[2])
+
+
 def test_token_count_and_shards_accept_merges(spark):
     from vlm_ocr_pipeline_spark.operators.corpus import pack_token_shards
     from vlm_ocr_pipeline_spark.operators.textstats import token_count

@@ -225,6 +225,23 @@ def test_prepare_corpus_incremental_dedup_store(tmp_path):
     assert r2["after_neardup_dedup"] == 0
     assert r2["corpus_rows"] == 0
 
+    # a store is bound to its LSH params: mismatched bands must
+    # hard-fail (different-param buckets never collide — the dedup
+    # would silently be a no-op)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
+            "--input", str(tmp_path / "in1"),
+            "--output", str(tmp_path / "out3"),
+            "--tokens-per-shard", "5000",
+            "--dedup-store", store, "--lsh-bands", "2",
+        ],
+        capture_output=True, text=True, timeout=420,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
+    )
+    assert out.returncode != 0
+    assert "seeded with" in (out.stderr + out.stdout)
+
 
 def test_prepare_corpus_job_end_to_end(tmp_path):
     """jobs/prepare_corpus.py: the composed extract -> quality -> dedup

@@ -128,6 +128,13 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     return chars + [EOW] + [a + b for a, b in merges]
 
 
+def vocab_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token -> id over :func:`bpe_vocab`'s deterministic order, with
+    id 0 reserved for <unk> (a character outside every merge — possible
+    when applying a vocab to text the trainer never sampled)."""
+    return {"<unk>": 0, **{t: i + 1 for i, t in enumerate(bpe_vocab(merges))}}
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank-first BPE encoding of one word (the GPT-2
     apply loop), mirroring the trainer's left-to-right merge order."""
@@ -155,35 +162,43 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    as_ids: bool = False,
 ) -> DataFrame:
     """Encode every document with a trained merge list.
 
-    Output: (doc_id, bpe_tokens array<string>, n_bpe_tokens int).
+    Output: (doc_id, bpe_tokens array<string>, n_bpe_tokens int) — or,
+    with ``as_ids``, (doc_id, bpe_ids array<int>, n_bpe_tokens int)
+    using :func:`vocab_ids`'s mapping (unknown tokens -> 0 = <unk>),
+    the form a training run's data loader actually reads.
     Arrow-batched mapInPandas; the merge ranks ride the task closure
     and the corpus never shuffles.  Joining a document's tokens and
     splitting on EOW reconstructs its normalized words exactly (BPE is
     lossless within words) — the round-trip test pins this.
     """
     ranks = {p: i for i, p in enumerate(merges)}
+    ids_map = vocab_ids(merges) if as_ids else None
+    out_col = "bpe_ids" if as_ids else "bpe_tokens"
 
     def gen(batches):
-        cache: dict[str, list[str]] = {}
+        cache: dict[str, list] = {}
         for b in batches:
             ids, toks, counts = [], [], []
             for did, text in zip(b[id_col], b[text_col]):
                 words = str(text or "").split()
-                enc: list[str] = []
+                enc: list = []
                 for w in words:
                     got = cache.get(w)
                     if got is None:
                         got = encode_word(w, ranks)
+                        if ids_map is not None:
+                            got = [ids_map.get(t, 0) for t in got]
                         cache[w] = got
                     enc.extend(got)
                 ids.append(did)
                 toks.append(enc)
                 counts.append(len(enc))
             yield pd.DataFrame(
-                {id_col: ids, "bpe_tokens": toks, "n_bpe_tokens": counts}
+                {id_col: ids, out_col: toks, "n_bpe_tokens": counts}
             )
 
     src = docs.select(
@@ -193,7 +208,8 @@ def apply_bpe(
         textnorm.normalize_text(F.col(text_col)).alias(text_col),
     )
     id_type = docs.schema[id_col].dataType.simpleString()
+    elem = "array<int>" if as_ids else "array<string>"
     return src.mapInPandas(
         gen,
-        schema=f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens int",
+        schema=f"{id_col} {id_type}, {out_col} {elem}, n_bpe_tokens int",
     )
