@@ -83,8 +83,12 @@ def main() -> None:
                          "through the real PSL instead of the heuristic")
     ap.add_argument("--robots", default="",
                     help="parquet of (host, body) robots.txt fetches; "
-                         "pages disallowed for '*' agents are dropped "
-                         "pre-extraction (RFC 9309 incl. wildcards)")
+                         "disallowed pages are dropped pre-extraction "
+                         "(RFC 9309 incl. wildcards)")
+    ap.add_argument("--robots-user-agent", default="",
+                    help="this crawler's product token for robots group "
+                         "selection (most specific match wins; default: "
+                         "'*' groups only)")
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="if > 0, train a BPE vocab of this many merges "
                          "on the deduped corpus, pack shards by LEARNED "
@@ -169,7 +173,10 @@ def main() -> None:
             robots_disallow_filter,
         )
 
-        rules = parse_robots_rules(spark.read.parquet(args.robots))
+        rules = parse_robots_rules(
+            spark.read.parquet(args.robots),
+            user_agent=args.robots_user_agent or None,
+        )
         pages = robots_disallow_filter(pages, rules)
         report["robots_hosts"] = rules.select("host").distinct().count()
 

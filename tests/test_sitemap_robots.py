@@ -191,6 +191,52 @@ def test_robots_rfc9309_wildcard_rules(spark):
     assert kept == [1, 4, 5, 7]
 
 
+ROBOTS_UA = """User-agent: examplebot
+Disallow: /bot-only/
+
+User-agent: examplebot-news
+Disallow: /news-bot/
+
+User-agent: *
+Disallow: /everyone/
+
+User-agent: politebot
+# group exists but allows everything
+Disallow:
+"""
+
+
+def test_parse_robots_rules_user_agent_group_selection(spark):
+    """RFC 9309 §2.2.1: longest case-insensitive prefix-matching
+    User-agent line wins; '*' only when nothing specific matches; a
+    matching-but-empty group means allow-all, not fallback."""
+    robots = spark.createDataFrame(
+        [("h.example.org", ROBOTS_UA)], "host string, body string"
+    )
+
+    def rules_for(ua):
+        return {
+            r["path_prefix"]
+            for r in parse_robots_rules(robots, user_agent=ua).collect()
+        }
+
+    # exact token: its own group, not '*'
+    assert rules_for("examplebot") == {"/bot-only/"}
+    # longer token: the MOST SPECIFIC matching line wins over the
+    # shorter prefix and over '*'
+    assert rules_for("Examplebot-News") == {"/news-bot/"}
+    # token extending a line: prefix match applies
+    assert rules_for("examplebot-images") == {"/bot-only/"}
+    # unknown crawler: '*' group
+    assert rules_for("otherbot") == {"/everyone/"}
+    # matching group with no rules: allow-all (no rows, no fallback)
+    assert rules_for("politebot") == set()
+    # default (no user_agent): unchanged '*'-only behavior
+    assert {
+        r["path_prefix"] for r in parse_robots_rules(robots).collect()
+    } == {"/everyone/"}
+
+
 def test_robots_filter_preserves_page_domain_column(spark):
     """A pages frame carrying its own 'domain' (or 'host') column must
     pass through untouched — only reserved temp columns are dropped."""

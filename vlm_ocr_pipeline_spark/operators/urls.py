@@ -358,13 +358,26 @@ def _robots_rule_regex_col(path: Column) -> Column:
 
 
 def parse_robots_rules(
-    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str | None = None,
 ) -> DataFrame:
     """Parse robots.txt bodies into (host, rule, path_prefix, pattern)
-    rows for the wildcard ('*') user-agent group(s), RFC 9309 group
+    rows for the group(s) that govern this crawler, RFC 9309 group
     semantics: consecutive User-agent lines open a group, Allow /
     Disallow lines belong to the most recent group, '#' starts a
     comment.  Empty Disallow values (allow-all) produce no row.
+
+    Group selection (§2.2.1): with ``user_agent`` (the crawler's
+    product token, e.g. "examplebot-news"), a group's User-agent line
+    matches when it is a case-insensitive prefix of the token ('*'
+    matches anything); the MOST SPECIFIC (longest) matching line wins,
+    every group carrying that winning line combines, and '*' groups
+    apply only when nothing longer matched.  Without ``user_agent``
+    (the default) only '*' groups are taken — the prior behavior.
+    A winning group that exists but has no rules (allow-all) correctly
+    yields no rows, NOT a fallback to '*'.
 
     ``host`` must be the full lowercased host the robots.txt was
     fetched from (see module note above).  ``pattern`` is the rule
@@ -377,10 +390,14 @@ def parse_robots_rules(
     """
     import pandas as pd
 
+    token = (user_agent or "").strip().lower()
+
     def gen(batches):
         for b in batches:
             rows = []
             for host, body in zip(b[host_col], b[body_col]):
+                # parse ALL groups first: (agent lines, rule list)
+                groups: list[tuple[list[str], list[tuple[str, str]]]] = []
                 agents: list[str] = []
                 in_rules = False
                 for line in (body or "").splitlines():
@@ -391,21 +408,36 @@ def parse_robots_rules(
                     field = field.strip().lower()
                     value = value.strip()
                     if field == "user-agent":
-                        if in_rules:  # a new group starts
-                            agents = []
+                        if in_rules or not groups:
+                            groups.append(([], []))
                             in_rules = False
-                        agents.append(value)
-                    elif field in ("allow", "disallow"):
+                        groups[-1][0].append(value.lower())
+                    elif field in ("allow", "disallow") and groups:
                         in_rules = True
-                        if "*" in agents and value:
-                            rows.append(
-                                {
-                                    "host": host,
-                                    "rule": field,
-                                    "path_prefix": value,
-                                    "pattern": _robots_rule_regex(value),
-                                }
-                            )
+                        if value:
+                            groups[-1][1].append((field, value))
+                # select the governing group(s)
+                if token:
+                    best = ""
+                    for ag, _rules in groups:
+                        for a in ag:
+                            if a != "*" and token.startswith(a) and len(a) > len(best):
+                                best = a
+                    sel = best if best else "*"
+                else:
+                    sel = "*"
+                for ag, rules in groups:
+                    if sel not in ag:
+                        continue
+                    for field, value in rules:
+                        rows.append(
+                            {
+                                "host": host,
+                                "rule": field,
+                                "path_prefix": value,
+                                "pattern": _robots_rule_regex(value),
+                            }
+                        )
             yield pd.DataFrame(
                 rows, columns=["host", "rule", "path_prefix", "pattern"]
             )
