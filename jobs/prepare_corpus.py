@@ -106,6 +106,13 @@ def main() -> None:
     ap.add_argument("--epoch-seed", default="",
                     help="if set, write the corpus in deterministic "
                          "shuffled order keyed by this seed")
+    ap.add_argument("--quality-reference", default="",
+                    help="parquet of (doc_id, text) GOOD-corpus docs; "
+                         "with --min-p-good trains a fastText-style "
+                         "hashed classifier (reference = positives, "
+                         "this corpus = negatives, CCNet-style) and "
+                         "keeps docs scoring >= the threshold")
+    ap.add_argument("--min-p-good", type=float, default=0.0)
     ap.add_argument("--max-bits-per-byte", type=float, default=0.0,
                     help="if > 0, drop docs scoring above this char-LM "
                          "perplexity (bits/byte; model trained on a "
@@ -134,6 +141,16 @@ def main() -> None:
 
     spark = get_spark(app="prepare-corpus")
     report: dict[str, int] = {}
+
+    def pin(df):
+        """Eager localCheckpoint between stages: materializes once (the
+        stage count that follows reads the pinned copy) AND truncates
+        the logical plan.  Every optional gate re-branches docs onto
+        itself (docs ⋈ f(docs)), so with cache() the final write's
+        plan STRING doubles per stage — an 11-stage run OOMed the
+        driver merely rendering it.  On a real cluster swap for
+        reliable checkpoint(dir) — same contract."""
+        return df.localCheckpoint(eager=True)
 
     if args.synthesize:
         from vlm_ocr_pipeline_spark.sources.datagen import synth_pages
@@ -209,9 +226,27 @@ def main() -> None:
     docs = (
         docs.join(rq.filter(F.col("quality_pass")).select("doc_id"), "doc_id")
         .drop("n_words")
-        .cache()
     )
+    docs = pin(docs)
     report["after_quality_gate"] = docs.count()
+
+    # 2-continued: optional reference-corpus classifier gate — the
+    # fastText-style hashed linear model trains on bounded samples
+    # (reference = positives, this corpus = negatives) and scoring is
+    # one Arrow-batched projection
+    if args.quality_reference and args.min_p_good > 0:
+        from vlm_ocr_pipeline_spark.operators.textstats import (
+            quality_classifier_score,
+            train_quality_classifier,
+        )
+
+        ref = spark.read.parquet(args.quality_reference)
+        model = train_quality_classifier(ref, docs)
+        keep = quality_classifier_score(docs, model).filter(
+            F.col("p_good") >= args.min_p_good
+        )
+        docs = pin(docs.join(keep.select("doc_id"), "doc_id"))
+        report["after_classifier_gate"] = docs.count()
 
     # 2-continued: optional CCNet-style perplexity gate — the bigram
     # LM trains on a bounded deterministic sample of THIS corpus, so
@@ -227,7 +262,7 @@ def main() -> None:
         keep = lm_perplexity(docs, lm).filter(
             F.col("bits_per_byte") <= args.max_bits_per_byte
         )
-        docs = docs.join(keep.select("doc_id"), "doc_id").cache()
+        docs = pin(docs.join(keep.select("doc_id"), "doc_id"))
         report["after_perplexity_gate"] = docs.count()
 
     # 2b. optional benchmark decontamination
@@ -236,11 +271,11 @@ def main() -> None:
 
         eval_docs = spark.read.parquet(args.decontaminate_against)
         hits = decontaminate(docs, eval_docs).select("doc_id")
-        docs = docs.join(hits, "doc_id", "left_anti").cache()
+        docs = pin(docs.join(hits, "doc_id", "left_anti"))
         report["after_decontamination"] = docs.count()
 
     # 3. exact dedup
-    docs = dedup_keep_representatives(docs).cache()
+    docs = pin(dedup_keep_representatives(docs))
     report["after_exact_dedup"] = docs.count()
 
     # 3b. optional substring-level dedup: scrub cross-doc duplicate
@@ -259,8 +294,8 @@ def main() -> None:
             .join(scrubbed, "doc_id")
             .filter(F.length(F.trim("text")) > 0)
             .drop("n_scrubbed_words")
-            .cache()
         )
+        docs = pin(docs)
         report["after_span_scrub"] = docs.count()
 
     # 4. near-dup dedup: keep each LSH cluster's representative.  With
@@ -296,7 +331,7 @@ def main() -> None:
         docs, delta = incremental_neardup(
             docs, store, num_hashes=args.lsh_hashes, bands=args.lsh_bands
         )
-        docs = docs.cache()
+        docs = pin(docs)
         report["after_neardup_dedup"] = docs.count()
         delta.write.mode("append").parquet(args.dedup_store)
         report["dedup_store_mode"] = "incremental"
@@ -307,7 +342,7 @@ def main() -> None:
         reps = clusters.filter(
             F.col("doc_id") == F.col("representative")
         ).select("doc_id")
-        docs = docs.join(reps, "doc_id").cache()
+        docs = pin(docs.join(reps, "doc_id"))
         report["after_neardup_dedup"] = docs.count()
         if args.dedup_store:
             from vlm_ocr_pipeline_spark.operators.text_dedup import lsh_bucket_store

@@ -259,6 +259,17 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
     pd.DataFrame(
         {"doc_id": [1], "text": [" ".join("zq" * 3 for _ in range(20))]}
     ).to_parquet(eval_path)
+    ref_path = str(tmp_path / "quality_ref.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                f"reference prose document {i} describing measured results "
+                "in complete sentences with ordinary vocabulary"
+                for i in range(6)
+            ],
+        }
+    ).to_parquet(ref_path)
     robots_path = str(tmp_path / "robots.parquet")
     pd.DataFrame(
         {
@@ -283,6 +294,7 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
             "--blocklist", "blocked.example.net", "--psl", "builtin",
             "--robots", robots_path,
             "--scrub-span-ngram", "8", "--epoch-seed", "e1",
+            "--quality-reference", ref_path, "--min-p-good", "1e-9",
             "--max-bits-per-byte", "7.9",
             "--decontaminate-against", eval_path,
             "--bpe-merges", "30",
@@ -302,6 +314,7 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
     assert len(merges) == 30 and all(len(p) == 2 for p in merges)
     assert (
         report["pages_in"] >= report["after_quality_gate"]
+        >= report["after_classifier_gate"]
         >= report["after_perplexity_gate"]
         >= report["after_decontamination"]
         >= report["after_exact_dedup"] >= report["after_span_scrub"]

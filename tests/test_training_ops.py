@@ -663,6 +663,58 @@ def test_char_lm_perplexity_separates_prose_from_noise(spark):
     assert abs(got - expect) < 1e-12
 
 
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    """fastText-style hashed linear classifier: prose-like positives vs
+    keyword-spam negatives separate cleanly; training is deterministic;
+    the distributed scorer equals a local numpy rescore."""
+    import numpy as np
+
+    prose = [
+        "the committee published its annual report on regional water quality",
+        "researchers described a new method for measuring glacier thickness",
+        "the library extended its opening hours after community feedback",
+        "a local orchestra performed works by twentieth century composers",
+    ]
+    spam = [
+        "buy cheap buy cheap buy cheap best price best price click now",
+        "casino bonus casino bonus free spins free spins win win win",
+        "pills discount pills discount order now order now limited offer",
+        "followers likes followers likes boost now boost now best site",
+    ]
+    pos = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(prose * 8)], ["doc_id", "text"]
+    )
+    neg = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(spam * 8)], ["doc_id", "text"]
+    )
+    model = textstats.train_quality_classifier(pos, neg, dim=1 << 14, epochs=4)
+    w2, b2 = textstats.train_quality_classifier(pos, neg, dim=1 << 14, epochs=4)
+    assert np.array_equal(model[0], w2) and model[1] == b2  # deterministic
+
+    unseen = spark.createDataFrame(
+        [
+            (0, "the museum announced a new exhibition of medieval manuscripts"),
+            (1, "cheap pills casino bonus click now best price free spins"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["p_good"]
+        for r in textstats.quality_classifier_score(unseen, model).collect()
+    }
+    assert got[0] > 0.5 > got[1]   # held-out separation
+    assert got[2] is None          # empty doc -> null, not a crash
+
+    # UDF == local numpy rescore (one definition of the feature hash)
+    w, b = model
+    feats = textstats._hashed_feature_indices(
+        "the museum announced a new exhibition of medieval manuscripts", len(w)
+    )
+    local = float(1.0 / (1.0 + np.exp(-(w[feats].mean() + b))))
+    assert abs(got[0] - local) < 1e-12
+
+
 def test_decontaminate_flags_only_overlapping_train_docs(spark):
     from vlm_ocr_pipeline_spark.operators.text_dedup import decontaminate
 

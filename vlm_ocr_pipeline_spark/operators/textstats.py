@@ -313,6 +313,120 @@ def train_char_lm(
     return np.log(counts / counts.sum(axis=1, keepdims=True))
 
 
+def _hashed_feature_indices(text: str, dim: int):
+    """Hashed unigram + word-bigram feature indices (the fastText
+    input layer): crc32(token) % dim.  Pure Python/zlib so the driver
+    trainer and the executor scorer share one definition byte-for-byte
+    — no cross-engine parity needed, the model never leaves Python."""
+    import zlib
+
+    import numpy as np
+
+    words = (text or "").split()
+    feats = [zlib.crc32(w.encode("utf-8")) % dim for w in words]
+    feats += [
+        zlib.crc32((a + "\x00" + b).encode("utf-8")) % dim
+        for a, b in zip(words, words[1:])
+    ]
+    return np.asarray(feats, dtype=np.int64)
+
+
+def train_quality_classifier(
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    dim: int = 1 << 18,
+    sample_size: int = 2048,
+    epochs: int = 5,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """fastText-style hashed linear quality classifier (the CCNet /
+    GPT-3 'looks like the good corpus' filter): logistic regression
+    over mean-pooled hashed unigram+bigram features, trained on
+    bounded deterministic samples of a positive corpus (e.g. a
+    curated/wiki-like set) and a negative one (raw crawl).
+
+    Scale contract matches :func:`train_char_lm` and the IVF trainer:
+    training always happens driver-side on the ``sample_size``
+    lowest-xxhash64(id) docs per side (bounded collect), scoring is
+    distributed.  Training is fully deterministic: fixed sample order
+    (hash, id), fixed epoch count, no RNG (weights start at zero).
+
+    Returns ``(weights, bias)`` — a float64 array of size ``dim`` and
+    a float — for :func:`quality_classifier_score`.
+    """
+    import numpy as np
+
+    def sample(df):
+        return (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+            .withColumn("_h", F.xxhash64(F.col("_id")))
+            .orderBy("_h", "_id")
+            .limit(sample_size)
+            .collect()
+        )
+
+    examples = [( _hashed_feature_indices(r["_t"], dim), 1.0) for r in sample(pos_docs)]
+    examples += [(_hashed_feature_indices(r["_t"], dim), 0.0) for r in sample(neg_docs)]
+    # deterministic interleave: alternate classes so SGD never sees a
+    # long single-class run (examples are already hash-ordered per side)
+    pos = [e for e in examples if e[1] == 1.0]
+    neg = [e for e in examples if e[1] == 0.0]
+    order = []
+    for i in range(max(len(pos), len(neg))):
+        if i < len(pos):
+            order.append(pos[i])
+        if i < len(neg):
+            order.append(neg[i])
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    for _ in range(epochs):
+        for feats, y in order:
+            if len(feats) == 0:
+                continue
+            z = w[feats].mean() + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            np.add.at(w, feats, -lr * g / len(feats))
+            b -= lr * g
+    return w, b
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with a :func:`train_quality_classifier`
+    model: (doc_id, p_good double) — sigmoid of the mean-pooled hashed
+    feature weights.  Arrow-batched pandas UDF; the weight array rides
+    the task closure (2 MB at the default dim — broadcast once per
+    executor), the corpus never shuffles.  Empty docs score null."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    w, b = model
+    dim = len(w)
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        def one(t):
+            feats = _hashed_feature_indices(t, dim)
+            if len(feats) == 0:
+                return None
+            z = w[feats].mean() + b
+            return float(1.0 / (1.0 + np.exp(-z)))
+
+        return texts.map(one)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _score(F.col(text_col)).alias("p_good")
+    )
+
+
 def lm_perplexity(
     docs: DataFrame,
     log_probs,
