@@ -307,33 +307,42 @@ def main() -> None:
     # different (num_hashes, bands) NEVER collide with this batch's, so
     # a mismatched store would silently dedup nothing.  A sidecar meta
     # file pins the params at seed time and hard-fails on mismatch.
-    meta_path = os.path.join(args.dedup_store, "_dedup_meta.json") if args.dedup_store else ""
     meta = {"num_hashes": args.lsh_hashes, "bands": args.lsh_bands,
             "n": 3, "hash_family": "md5"}
     if args.dedup_store:
-        try:
-            store = spark.read.parquet(args.dedup_store)
-        except Exception:
-            store = None  # first run seeds the store below
-        if store is not None and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                stored_meta = json.load(f)
-            if stored_meta != meta:
-                raise SystemExit(
-                    f"--dedup-store was seeded with {stored_meta} but this "
-                    f"run uses {meta}; buckets from different LSH params "
-                    "never collide, so the store would silently dedup "
-                    "nothing. Use the original params or a fresh store."
-                )
-    if store is not None:
-        from vlm_ocr_pipeline_spark.operators.text_dedup import incremental_neardup
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            dedup_store_exists,
+            ensure_dedup_meta,
+        )
 
-        docs, delta = incremental_neardup(
+        # first-run detection is EXPLICIT (dir absent / no parquet part
+        # files): a catch-all around the read once treated any transient
+        # read failure as "first run" and the seed branch then
+        # mode('overwrite')-destroyed the accumulated store.  A real
+        # read error now propagates.  ensure_dedup_meta verifies the
+        # LSH-param sidecar (hard-fail on mismatch) and backfills it on
+        # stores seeded before the guard existed.
+        if dedup_store_exists(args.dedup_store):
+            ensure_dedup_meta(args.dedup_store, meta)
+            store = spark.read.parquet(args.dedup_store)
+    if store is not None:
+        from vlm_ocr_pipeline_spark.operators.text_dedup import (
+            incremental_neardup,
+            lsh_bucket_store,
+        )
+
+        docs, _ = incremental_neardup(
             docs, store, num_hashes=args.lsh_hashes, bands=args.lsh_bands
         )
         docs = pin(docs)
         report["after_neardup_dedup"] = docs.count()
-        delta.write.mode("append").parquet(args.dedup_store)
+        # delta from the PINNED frame: lsh_bucket_store(kept) equals the
+        # delta incremental_neardup returned by construction, but reads
+        # the checkpointed blocks instead of re-running the batch's
+        # MinHash/bucket joins a second time just to write the delta
+        lsh_bucket_store(
+            docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
+        ).write.mode("append").parquet(args.dedup_store)
         report["dedup_store_mode"] = "incremental"
     else:
         clusters = neardup_clusters(
@@ -345,13 +354,15 @@ def main() -> None:
         docs = pin(docs.join(reps, "doc_id"))
         report["after_neardup_dedup"] = docs.count()
         if args.dedup_store:
-            from vlm_ocr_pipeline_spark.operators.text_dedup import lsh_bucket_store
+            from vlm_ocr_pipeline_spark.operators.text_dedup import (
+                ensure_dedup_meta,
+                lsh_bucket_store,
+            )
 
             lsh_bucket_store(
                 docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
             ).write.mode("overwrite").parquet(args.dedup_store)
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
+            ensure_dedup_meta(args.dedup_store, meta)
             report["dedup_store_mode"] = "seeded"
 
     # 5 + 6. split and shard.  With --bpe-merges the shard budget

@@ -79,9 +79,27 @@ def test_read_sitemap_tree_recurses_bounded_and_cycle_safe(spark, tmp_path):
     ).toPandas()
     got = dict(zip(out["url"], out["depth"]))
     # leaf1 found at depth 1, leaf2 at depth 2; the cycle back to
-    # root.xml re-reads it once (first visit) but never loops
+    # root.xml is never re-read (resolved-path seen set seeded with the
+    # root), so the walk terminates without a wasted level
     assert got == {base + "a": 1, base + "b": 1, base + "c": 2}
     assert out["kind"].eq("url").all()
+
+    # a MIXED root (page entries + index entries) re-declared by a
+    # child must emit its page rows exactly once — path-level dedup;
+    # likewise two URL aliases resolving to one path read it once
+    mixed = _idx(base + "leaf1.xml", base + "idx3.xml").replace(
+        "</sitemapindex>", f"<url><loc>{base}home</loc></url></sitemapindex>"
+    )
+    (tmp_path / "mixed.xml").write_text(mixed)
+    (tmp_path / "idx3.xml").write_text(
+        _idx(base + "mixed.xml", base + "alias/../leaf2.xml")
+    )
+    res3 = lambda u: str(tmp_path / ("mixed.xml" if "mixed" in u else u.rsplit("/", 1)[1]))  # noqa: E731
+    out2 = read_sitemap_tree(
+        spark, str(tmp_path / "mixed.xml"), max_depth=4, resolve=res3
+    ).toPandas()
+    assert (out2["url"] == base + "home").sum() == 1
+    assert set(out2["url"]) == {base + "home", base + "a", base + "b", base + "c"}
 
     # depth cap: max_depth=1 stops before the second index's children
     shallow = read_sitemap_tree(

@@ -11,10 +11,13 @@ canonical distributed as-of: one shuffle on the key, no range
 explosion, no per-row Python.  (DuckDB has ASOF JOIN natively, which is
 what the oracle uses.)
 
-Contract: the right side must be unique per (key, time) — pre-aggregate
-ties first (the matching row at equal timestamps would otherwise be
-engine-dependent).  Rows with equal left/right time DO match
-(inclusive, the standard >= semantics).
+Contract: rows with equal left/right time DO match (inclusive, the
+standard >= semantics).  Right rows sharing one (key, time) are legal —
+the one with the greatest ``value_cols`` struct wins deterministically
+(see :func:`asof_join`); because that tie-break ORDERS BY the value
+struct, every ``value_cols`` type must be orderable (no maps; arrays
+and structs of orderable fields are fine).  Pre-aggregate ties away
+first if a value column is non-orderable.
 """
 
 from __future__ import annotations
@@ -57,7 +60,11 @@ def asof_join(
     with the greatest ``value_cols`` struct (field order, Spark struct
     comparison) wins — deterministic, and identical to the carry-in
     rule in :func:`asof_join_sliced` (``max(struct(_t, _r))``), so the
-    two variants agree even with duplicate right timestamps.
+    two variants agree even with duplicate right timestamps.  This
+    tie-break puts the value struct in the window ORDER BY, so every
+    value column must be an ORDERABLE type (MapType is not); order by
+    an orderable projection (e.g. ``map_entries``) or pre-aggregate
+    ties away when it isn't.
 
     Hot-key constraint: the window partitions by ``on`` alone, so ONE
     pathological key (a single user with 10^8 events) serializes

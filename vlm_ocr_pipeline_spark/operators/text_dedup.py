@@ -720,6 +720,55 @@ def decontaminate(
 # and emits the delta to append.
 
 
+def dedup_store_exists(path: str) -> bool:
+    """Explicit first-run detection for persistent dedup stores: True
+    iff ``path`` holds at least one parquet part file.  Callers use
+    this INSTEAD of catching read errors — a transient read failure
+    misread as "first run" would let a seed branch overwrite (destroy)
+    the accumulated cross-snapshot state, and real corruption should
+    propagate, not silently re-admit every historical duplicate.
+    Local-filesystem walk; a deployment on an object store swaps in the
+    Hadoop FileSystem API under the same contract."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def ensure_dedup_meta(store_dir: str, meta: dict) -> None:
+    """Pin the LSH parameters a bucket store was built with.
+
+    Buckets built with different (num_hashes, bands, n, hash_family)
+    NEVER collide with a batch's, so a mismatched store silently dedups
+    nothing — the sidecar ``_dedup_meta.json`` (underscore prefix:
+    parquet readers skip it) makes that a hard failure instead.  If the
+    sidecar exists it must equal ``meta`` (raises ValueError); if
+    missing (store seeded before the guard, or by an older streaming
+    run) it is backfilled so the NEXT mismatched run fails."""
+    import json
+    import os
+
+    meta_path = os.path.join(store_dir, "_dedup_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+        if stored != meta:
+            raise ValueError(
+                f"dedup store {store_dir} was seeded with {stored} but this "
+                f"run uses {meta}; buckets from different LSH params never "
+                "collide, so the store would silently dedup nothing. Use "
+                "the original params or a fresh store."
+            )
+    else:
+        os.makedirs(store_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+
 def lsh_bucket_store(
     docs: DataFrame,
     num_hashes: int = 12,

@@ -90,6 +90,11 @@ def read_sitemap_tree(
     frame = read_sitemap(spark, path).withColumn("depth", F.lit(0))
     out = frame.filter(F.col("kind") == "url")
     seen: set[str] = set()
+    # cycle safety runs on RESOLVED PATHS, seeded with the root: a
+    # child entry re-declaring the root (or two URL aliases resolving
+    # to one path) must not re-read — and re-emit — a file's page rows
+    # at a second depth.  URL-level dedup alone missed both cases.
+    seen_paths: set[str] = {path}
     for depth in range(1, max_depth + 1):
         children = [
             r["url"]
@@ -104,8 +109,10 @@ def read_sitemap_tree(
                 continue
             seen.add(u)
             p = resolve(u)
-            if p is not None:
-                paths.append(p)
+            if p is None or p in seen_paths:
+                continue
+            seen_paths.add(p)
+            paths.append(p)
         if not paths:
             break
         frame = read_sitemap(spark, paths).withColumn("depth", F.lit(depth))

@@ -122,12 +122,21 @@ def stream_incremental_dedup_extract(
     Readers take ``spark.read.parquet(output_dir)`` (batch_id becomes a
     partition column).
     """
-    from ..operators.text_dedup import incremental_neardup
+    from ..operators.text_dedup import ensure_dedup_meta, incremental_neardup
+
+    # the sidecar pins the LSH params the store's buckets were built
+    # with — same guard as prepare_corpus --dedup-store (the two share
+    # the store format): verified before the stream starts, backfilled
+    # on pre-guard stores, hard-fail on mismatch (mismatched buckets
+    # never collide, so the stream would silently dedup nothing)
+    meta = {"num_hashes": num_hashes, "bands": bands, "n": 3,
+            "hash_family": "md5"}
+    ensure_dedup_meta(store_dir, meta)
 
     pages = read_pages_stream(spark, input_dir)
 
     def handle(batch_df, batch_id: int) -> None:
-        from ..operators.text_dedup import lsh_bucket_store
+        from ..operators.text_dedup import dedup_store_exists, lsh_bucket_store
 
         sess = batch_df.sparkSession
         ext = extract(
@@ -138,9 +147,13 @@ def stream_incremental_dedup_extract(
             F.xxhash64("url", "warc_ts").alias("doc_id"),
             F.col("rendered").alias("text"),
         )
-        try:
+        # explicit first-batch detection (no parquet files yet) — a
+        # read error against an EXISTING store must propagate, not be
+        # silently treated as an empty store (which would re-admit
+        # every historical duplicate for this batch)
+        if dedup_store_exists(store_dir):
             store = sess.read.parquet(store_dir).select("bk")
-        except Exception:  # first batch: no store yet
+        else:
             store = sess.createDataFrame([], "bk long")
         kept, _ = incremental_neardup(
             docs, store, num_hashes=num_hashes, bands=bands
