@@ -68,6 +68,13 @@ def _collapsed_text():
 
 _ORACLE_COLLAPSE = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 
+# the TOKEN-STREAM twin (script-aware: CJK/Thai chars space out as
+# their own tokens) — mirrors textnorm.tokenized_text / words; built
+# in textnorm so the pattern string has ONE source of truth
+from vlm_ocr_pipeline_spark.textnorm import sql_tokenized as _sql_tokenized
+
+_ORACLE_TOK = _sql_tokenized("text")
+
 # mirror of operators/urls.py::MULTI_PART_SUFFIXES for the DuckDB
 # oracle (imported, not copied — single source of truth)
 from vlm_ocr_pipeline_spark.operators.urls import MULTI_PART_SUFFIXES as _MPS
@@ -77,13 +84,15 @@ _ORACLE_URL = "'https://docs.example.org/doc/' || doc_id"
 
 # messy url variants for the canonicalization query — identical SQL on
 # both engines (Spark F.expr and DuckDB both accept this CASE)
-_MESSY_URL_SQL = """CASE doc_id % 6
+_MESSY_URL_SQL = """CASE doc_id % 8
     WHEN 0 THEN 'HTTPS://Docs.Example.org:443/doc/' || doc_id
                 || '/?utm_source=x&b=2&a=1'
     WHEN 1 THEN 'https://docs.example.org/doc/' || doc_id || '?b=2&a=1&fbclid=zz'
     WHEN 2 THEN 'http://DOCS.example.org:80/doc/' || doc_id || '#section'
     WHEN 3 THEN 'https://news.example.co.uk/doc/' || doc_id || '?ref=home'
     WHEN 4 THEN 'http://cdn.media.example.com.au:80/doc/' || doc_id || '/'
+    WHEN 5 THEN 'https://docs.example.org/doc/%7E' || doc_id || '/%7e-home?b=%41&a=1'
+    WHEN 6 THEN 'https://docs.example.org/doc%2F' || doc_id || '?x=%2f&a=%3d'
     ELSE 'https://docs.example.org/doc/' || doc_id || '/'
 END"""
 
@@ -906,9 +915,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     collapse = _ORACLE_COLLAPSE
+    tok = _ORACLE_TOK
     o["token_fingerprints"] = f"""
         SELECT doc_id,
-               CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split({tok}, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all({collapse},
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
                    AS n_bpe_tokens,
@@ -923,7 +933,11 @@ def oracle_sql() -> dict[str, str]:
         for w in ("the", "a", "and", "of", "to", "in", "is", "on")
     )
     # quality + lang_id oracle built programmatically to mirror the op
-    from vlm_ocr_pipeline_spark.operators.textstats import LANG_MARKERS
+    from vlm_ocr_pipeline_spark.operators.textstats import (
+        LANG_MARKERS,
+        LANG_SCRIPTS,
+    )
+    from vlm_ocr_pipeline_spark.textnorm import hex_class as _hex_class
 
     def _occ(m: str) -> str:
         return (
@@ -934,24 +948,36 @@ def oracle_sql() -> dict[str, str]:
     score_exprs = {
         lang: " + ".join(_occ(m) for m in ms) for lang, ms in LANG_MARKERS.items()
     }
+    # charset-range languages: weighted count of chars in the script's
+    # Unicode ranges over the collapsed text `t` — mirrors
+    # textstats._script_count (same \x{HHHH} class string)
+    for _lang, (_wt, _ranges) in LANG_SCRIPTS.items():
+        _cls = f"[{_hex_class(_ranges)}]"
+        _e = (
+            f"CAST((length(t) - length(regexp_replace(t, '{_cls}', '', 'g')))"
+            " AS INT)"
+        )
+        score_exprs[_lang] = f"({_e} * {_wt})" if _wt != 1 else _e
     langs = sorted(score_exprs)
-    # argmax with earlier-code tie-break == the Spark fold in textstats
-    best = "'und'"
-    best_score = "0"
-    for lang in reversed(langs):
-        s = f"s_{lang}"
-        best = f"CASE WHEN {s} >= greatest({best_score}, 1) THEN '{lang}' ELSE {best} END"
-        best_score = f"CASE WHEN {s} >= greatest({best_score}, 1) THEN {s} ELSE {best_score} END"
+    # argmax with earlier-code tie-break == the Spark array_max fold in
+    # textstats; flat greatest() form — the naive CASE fold doubled the
+    # SQL string per language and at 10 languages hit ~100 KB
+    _gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    best = (
+        f"CASE WHEN {_gmax} < 1 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = {_gmax} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
     score_sel = ", ".join(f"CAST(s_{lang} AS BIGINT) AS score_{lang}" for lang in langs)
     inner = ", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
     o["quality_lang"] = f"""
-        WITH n AS (SELECT doc_id, {collapse} AS t FROM documents),
-        p AS (SELECT doc_id, t, ' ' || t || ' ' AS p FROM n),
-        s AS (SELECT doc_id, t, p, {inner} FROM p)
+        WITH n AS (SELECT doc_id, {collapse} AS t, {tok} AS tk FROM documents),
+        p AS (SELECT doc_id, t, tk, ' ' || t || ' ' AS p FROM n),
+        s AS (SELECT doc_id, t, tk, p, {inner} FROM p)
         SELECT doc_id,
-               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
-               length(t) / CAST(len(string_split(t, ' ')) AS DOUBLE) AS mean_word_len,
-               ({stop_terms}) / CAST(len(string_split(t, ' ')) AS DOUBLE)
+               CAST(len(string_split(tk, ' ')) AS BIGINT) AS n_words,
+               length(t) / CAST(len(string_split(tk, ' ')) AS DOUBLE) AS mean_word_len,
+               ({stop_terms}) / CAST(len(string_split(tk, ' ')) AS DOUBLE)
                    AS stopword_ratio,
                (length(t) - length(regexp_replace(t, '[\\.,;:!\\?]', '', 'g')))
                    / CAST(length(t) AS DOUBLE) AS punct_ratio,
@@ -965,7 +991,7 @@ def oracle_sql() -> dict[str, str]:
     # generate_series (empty for docs with < 2 words, like Spark)
     o["repetition_quality"] = f"""
         WITH w AS (
-            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+            SELECT doc_id, string_split({tok}, ' ') AS w FROM documents
         ),
         stats AS (
             SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
@@ -993,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["vocab_stats"] = f"""
         WITH terms AS (
-            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS term
+            SELECT doc_id, unnest(string_split({tok}, ' ')) AS term
             FROM documents
         )
         SELECT count(DISTINCT doc_id) AS n_docs,
@@ -1005,8 +1031,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["lang_composition"] = f"""
         WITH p AS (
-            SELECT doc_id, ' ' || {collapse} || ' ' AS p,
-                   CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens
+            SELECT doc_id, ' ' || {collapse} || ' ' AS p, {collapse} AS t,
+                   CAST(len(string_split({tok}, ' ')) AS BIGINT) AS n_tokens
             FROM documents
         ),
         s AS (SELECT doc_id, n_tokens, {inner} FROM p),
@@ -1093,7 +1119,7 @@ def oracle_sql() -> dict[str, str]:
     o["token_shards"] = f"""
         WITH tok AS (
             SELECT doc_id,
-                   CAST(len(string_split({collapse}, ' ')) AS BIGINT) AS n_tokens
+                   CAST(len(string_split({tok}, ' ')) AS BIGINT) AS n_tokens
             FROM documents
         ),
         c AS (
@@ -1108,7 +1134,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["tfidf_top3"] = f"""
         WITH words AS (
-            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS term
+            SELECT doc_id, unnest(string_split({tok}, ' ')) AS term
             FROM documents
         ),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -1134,7 +1160,7 @@ def oracle_sql() -> dict[str, str]:
     # out-of-range slices
     o["doc_chunks"] = f"""
         WITH words AS (
-            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+            SELECT doc_id, string_split({tok}, ' ') AS w FROM documents
         ),
         n AS (
             SELECT doc_id, w,
@@ -1171,15 +1197,20 @@ def oracle_sql() -> dict[str, str]:
                    AS n_phones
         FROM s1
     """
+    from vlm_ocr_pipeline_spark.operators.urls import (
+        sql_percent_normalize as _sql_pct,
+    )
+
     o["url_canonical"] = f"""
         WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+        pct AS (SELECT doc_id, url, {_sql_pct('url')} AS nu FROM messy),
         parts AS (
             SELECT doc_id, url,
-                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS h,
-                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p,
-                   regexp_extract(url, '\\?([^#]*)', 1) AS q
-            FROM messy
+                   lower(regexp_extract(nu, '^([A-Za-z]+)://', 1)) AS scheme,
+                   lower(regexp_extract(nu, '^[A-Za-z]+://([^/?#]+)', 1)) AS h,
+                   regexp_extract(nu, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p,
+                   regexp_extract(nu, '\\?([^#]*)', 1) AS q
+            FROM pct
         ),
         norm AS (
             SELECT doc_id, url, scheme,
@@ -1233,7 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
     shingle_cte = f"""
-        words AS (SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents),
+        words AS (SELECT doc_id, string_split({tok}, ' ') AS w FROM documents),
         sh AS (
             SELECT DISTINCT doc_id,
                    array_to_string(w[i : i + 2], ' ') AS shingle
@@ -1267,7 +1298,7 @@ def oracle_sql() -> dict[str, str]:
     _dsn = 3
     o["dup_spans"] = f"""
         WITH w AS (
-            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+            SELECT doc_id, string_split({tok}, ' ') AS w FROM documents
         ),
         pos AS (
             SELECT doc_id,
@@ -1364,7 +1395,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["simhash"] = f"""
         WITH words AS (
-            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS word
+            SELECT doc_id, unnest(string_split({tok}, ' ')) AS word
             FROM documents
         ),
         sums AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id)
@@ -1392,7 +1423,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["simhash64_neardup"] = f"""
         WITH words AS (
-            SELECT doc_id, unnest(string_split({collapse}, ' ')) AS word
+            SELECT doc_id, unnest(string_split({tok}, ' ')) AS word
             FROM documents
         ),
         hl AS (
@@ -1500,7 +1531,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["decontaminate"] = f"""
         WITH words AS (
-            SELECT doc_id, string_split({collapse}, ' ') AS w FROM documents
+            SELECT doc_id, string_split({tok}, ' ') AS w FROM documents
         ),
         tg AS (
             SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS s

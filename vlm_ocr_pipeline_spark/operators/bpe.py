@@ -18,8 +18,11 @@ Shape at 100 TB:
   the cache hit rate ~1 after the first few thousand words).
 
 Pre-tokenization reuses :mod:`vlm_ocr_pipeline_spark.textnorm` — the
-single-tokenizer invariant: BPE learns WITHIN whitespace words, so the
-word boundary definition stays the one every oracle mirrors.
+single-tokenizer invariant: BPE learns WITHIN textnorm tokens
+(whitespace words; single characters for no-space scripts like CJK,
+where BPE merges then learn multi-char units the way real multilingual
+vocabs do), so the word boundary definition stays the one every oracle
+mirrors.
 """
 
 from __future__ import annotations
@@ -172,8 +175,9 @@ def apply_bpe(
     the form a training run's data loader actually reads.
     Arrow-batched mapInPandas; the merge ranks ride the task closure
     and the corpus never shuffles.  Joining a document's tokens and
-    splitting on EOW reconstructs its normalized words exactly (BPE is
-    lossless within words) — the round-trip test pins this.
+    splitting on EOW reconstructs its ``textnorm.tokenized_text`` words
+    exactly (BPE is lossless within words) — the round-trip test pins
+    this.
     """
     ranks = {p: i for i, p in enumerate(merges)}
     ids_map = vocab_ids(merges) if as_ids else None
@@ -203,9 +207,10 @@ def apply_bpe(
 
     src = docs.select(
         F.col(id_col).alias(id_col),
-        # normalize BEFORE Python so the whitespace split here equals
-        # textnorm.words — one tokenizer definition, not two
-        textnorm.normalize_text(F.col(text_col)).alias(text_col),
+        # tokenize BEFORE Python (script-aware spacing + collapse) so
+        # the plain whitespace split here equals textnorm.words — one
+        # tokenizer definition, not two
+        textnorm.tokenized_text(F.col(text_col)).alias(text_col),
     )
     id_type = docs.schema[id_col].dataType.simpleString()
     elem = "array<int>" if as_ids else "array<string>"

@@ -13,7 +13,12 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..textnorm import normalize_text as _norm, words as _words
+from ..textnorm import (
+    hex_class as _hex_class,
+    normalize_text as _norm,
+    py_words as _py_words,
+    words as _words,
+)
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
 
@@ -24,6 +29,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und"),
     "fr": ("le", "la", "et"),
     "es": ("el", "los", "que"),
+}
+
+# charset-range languages: one vote per character in the script's
+# Unicode ranges (pure length arithmetic — oracle-stable), competing
+# in the same argmax as the marker-word votes.  A language whose
+# script also carries another's (Japanese prose mixes kana with Han
+# ideographs) gets a weight so typical mixed text wins: kana are
+# ~30-40% of Japanese running text, so 3x kana votes beat the Han
+# count on real Japanese while a Chinese doc quoting a kana word
+# stays zh.  Deterministic heuristic, not a classifier — the
+# fastText-style model (train_quality_classifier) is the learned path.
+LANG_SCRIPTS: dict[str, tuple[int, tuple[tuple[int, int], ...]]] = {
+    "ar": (1, ((0x0600, 0x06FF),)),
+    "ja": (3, ((0x3041, 0x309F), (0x30A0, 0x30FF))),
+    "ko": (1, ((0xAC00, 0xD7A3),)),
+    "ru": (1, ((0x0400, 0x04FF),)),
+    "th": (1, ((0x0E01, 0x0E5B),)),
+    "zh": (1, ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF))),
 }
 
 
@@ -93,12 +116,15 @@ def token_fingerprints(
     )
 
 
-def _quality_cols(text_col: str) -> list[Column]:
-    """Quality-feature expressions (shared by quality_scores and the
-    combined quality_lang projection)."""
+def _quality_base_cols(text_col: str) -> list[Column]:
+    """Stage-1 quality INGREDIENTS — each expensive expression (the
+    tokenized word array, the regex strips, the stopword padded-count
+    chain) appears exactly ONCE; the ratios in
+    :func:`_quality_final_cols` then reference plain columns.  A
+    single-projection version re-evaluated words()/norm per ratio,
+    which got measurably expensive once tokenization turned
+    script-aware."""
     norm = _norm(F.col(text_col))
-    n_words = F.size(_words(F.col(text_col)))
-    n_chars = F.length(norm)
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     n_stop = sum(
         _count_occurrences(padded, f" {w} ") for w in STOPWORDS
@@ -106,56 +132,116 @@ def _quality_cols(text_col: str) -> list[Column]:
     n_punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[\.,;:!\?]", ""))
     n_digit = F.length(norm) - F.length(F.regexp_replace(norm, r"[0-9]", ""))
     return [
-        n_words.alias("n_words"),
-        (n_chars / n_words).alias("mean_word_len"),
-        (n_stop / n_words).alias("stopword_ratio"),
-        (n_punct / n_chars).alias("punct_ratio"),
-        (n_digit / n_chars).alias("digit_ratio"),
+        F.size(_words(F.col(text_col))).alias("n_words"),
+        F.length(norm).alias("_n_chars"),
+        n_stop.alias("_n_stop"),
+        n_punct.alias("_n_punct"),
+        n_digit.alias("_n_digit"),
     ]
 
 
-def _lang_cols(text_col: str) -> list[Column]:
-    """Language-ID expressions: predicted lang = argmax of per-language
-    marker counts, ties broken by language code order, 'und' when all
-    counts are zero."""
-    padded = F.concat(F.lit(" "), _norm(F.col(text_col)), F.lit(" "))
+_QUALITY_FINAL = [
+    F.col("n_words"),
+    (F.col("_n_chars") / F.col("n_words")).alias("mean_word_len"),
+    (F.col("_n_stop") / F.col("n_words")).alias("stopword_ratio"),
+    (F.col("_n_punct") / F.col("_n_chars")).alias("punct_ratio"),
+    (F.col("_n_digit") / F.col("_n_chars")).alias("digit_ratio"),
+]
+
+
+def _script_count(col: Column, ranges: tuple[tuple[int, int], ...]) -> Column:
+    """Chars of ``col`` inside the Unicode ``ranges``, via the same
+    length arithmetic as :func:`_count_occurrences` (portable SQL)."""
+    cls = f"[{_hex_class(ranges)}]"
+    return (F.length(col) - F.length(F.regexp_replace(col, cls, ""))).cast("int")
+
+
+def _lang_score_cols(text_col: str) -> list[Column]:
+    """Stage-1 per-language vote columns (``score_<lang>``):
+    marker-word occurrences for spaced Latin-script languages, weighted
+    script-char counts for charset-range languages (``LANG_SCRIPTS``).
+    Projected ONCE — the argmax in :func:`_predicted_lang_col` folds
+    over the resulting plain columns, never re-evaluating these."""
+    norm = _norm(F.col(text_col))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
     scores = {
         lang: sum(_count_occurrences(padded, f" {m} ") for m in markers)
         for lang, markers in LANG_MARKERS.items()
     }
-    langs = sorted(scores)  # deterministic tie-break order
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in reversed(langs):  # reversed so earlier codes win ties
-        cond = scores[lang] >= F.greatest(best_score, F.lit(1))
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    sel = [best.alias("predicted_lang")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
-    return sel
+    scores.update(
+        {
+            lang: _script_count(norm, ranges) * weight
+            for lang, (weight, ranges) in LANG_SCRIPTS.items()
+        }
+    )
+    return [scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
+
+
+def _lang_codes() -> list[str]:
+    return sorted(set(LANG_MARKERS) | set(LANG_SCRIPTS))
+
+
+def _predicted_lang_col() -> Column:
+    """Stage-2 argmax over the ``score_<lang>`` columns: highest vote
+    count wins, ties break to the earlier language code, all-zero ->
+    'und'.  Linear-size expression (array_max over (score, -index)
+    structs) — the naive CASE fold doubled the tree per language and
+    at 10 languages exploded codegen."""
+    langs = _lang_codes()
+    entries = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"), F.lit(-i).alias("ni")
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(entries)
+    code = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), (-best["ni"] + 1).cast("int")
+    )
+    return F.when(best["s"] >= 1, code).otherwise(F.lit("und")).alias(
+        "predicted_lang"
+    )
 
 
 def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality features used by web-corpus filters:
     mean word length, stopword ratio, punctuation ratio, digit ratio.
-    Each ratio is one exact double division (oracle-stable)."""
+    Each ratio is one exact double division (oracle-stable).  Two
+    chained narrow projections (ingredients, then ratios) — no
+    shuffle, no re-evaluated tokenizer."""
     return docs.select(
-        F.col(id_col).alias("doc_id"), *_quality_cols(text_col)
-    )
+        F.col(id_col).alias("doc_id"), *_quality_base_cols(text_col)
+    ).select("doc_id", *_QUALITY_FINAL)
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic (see :func:`_lang_cols`)."""
-    return docs.select(F.col(id_col).alias("doc_id"), *_lang_cols(text_col))
+    """Marker-word + script-range language heuristic (see
+    :func:`_lang_score_cols`)."""
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), *_lang_score_cols(text_col)
+    )
+    return scored.select(
+        "doc_id",
+        _predicted_lang_col(),
+        *[F.col(f"score_{lang}") for lang in _lang_codes()],
+    )
 
 
 def quality_lang(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """quality_scores + lang_id in ONE projection (same scan, no
-    join)."""
-    return docs.select(
+    """quality_scores + lang_id in ONE pass over the text (two chained
+    narrow projections, same scan, no join)."""
+    scored = docs.select(
         F.col(id_col).alias("doc_id"),
-        *_quality_cols(text_col),
-        *_lang_cols(text_col),
+        *_quality_base_cols(text_col),
+        *_lang_score_cols(text_col),
+    )
+    return scored.select(
+        "doc_id",
+        *_QUALITY_FINAL,
+        _predicted_lang_col(),
+        *[F.col(f"score_{lang}") for lang in _lang_codes()],
     )
 
 
@@ -317,12 +403,15 @@ def _hashed_feature_indices(text: str, dim: int):
     """Hashed unigram + word-bigram feature indices (the fastText
     input layer): crc32(token) % dim.  Pure Python/zlib so the driver
     trainer and the executor scorer share one definition byte-for-byte
-    — no cross-engine parity needed, the model never leaves Python."""
+    — no cross-engine parity needed, the model never leaves Python.
+    Tokenization is textnorm.py_words (script-aware: CJK/Thai chars
+    are tokens, so their bigrams carry the signal fastText's char
+    n-grams would)."""
     import zlib
 
     import numpy as np
 
-    words = (text or "").split()
+    words = _py_words(text)
     feats = [zlib.crc32(w.encode("utf-8")) % dim for w in words]
     feats += [
         zlib.crc32((a + "\x00" + b).encode("utf-8")) % dim
