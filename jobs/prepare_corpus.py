@@ -103,6 +103,15 @@ def main() -> None:
                          "store (its scan never shuffles or broadcasts) "
                          "and appends its own delta — the continuous-"
                          "crawl mode. First run seeds the store.")
+    ap.add_argument("--neardup-min-bands", type=int, default=1,
+                    help="require this many shared LSH bands (with the "
+                         "same stored doc) before a near-dup drop; > 1 "
+                         "switches the store to signature rows")
+    ap.add_argument("--neardup-min-jaccard", type=float, default=0.0,
+                    help="if > 0, additionally require the signature-"
+                         "estimated Jaccard vs the colliding doc to "
+                         "reach this value before dropping (verified "
+                         "drops; store carries signatures)")
     ap.add_argument("--epoch-seed", default="",
                     help="if set, write the corpus in deterministic "
                          "shuffled order keyed by this seed")
@@ -307,8 +316,13 @@ def main() -> None:
     # different (num_hashes, bands) NEVER collide with this batch's, so
     # a mismatched store would silently dedup nothing.  A sidecar meta
     # file pins the params at seed time and hard-fails on mismatch.
+    min_jacc = args.neardup_min_jaccard if args.neardup_min_jaccard > 0 else None
+    verified = args.neardup_min_bands > 1 or min_jacc is not None
+    # "signatures" is part of the STORE FORMAT identity (bucket-only
+    # rows can't verify), so it lives in the sidecar; the gate
+    # thresholds themselves may vary run to run
     meta = {"num_hashes": args.lsh_hashes, "bands": args.lsh_bands,
-            "n": 3, "hash_family": "md5"}
+            "n": 3, "hash_family": "md5", "signatures": verified}
     if args.dedup_store:
         from vlm_ocr_pipeline_spark.operators.text_dedup import (
             dedup_store_exists,
@@ -323,30 +337,36 @@ def main() -> None:
         # LSH-param sidecar (hard-fail on mismatch) and backfills it on
         # stores seeded before the guard existed.
         if dedup_store_exists(args.dedup_store):
-            ensure_dedup_meta(args.dedup_store, meta)
+            ensure_dedup_meta(
+                args.dedup_store, meta, legacy_defaults={"signatures": False}
+            )
             store = spark.read.parquet(args.dedup_store)
     if store is not None:
         from vlm_ocr_pipeline_spark.operators.text_dedup import (
             incremental_neardup,
             lsh_bucket_store,
+            lsh_signature_store,
         )
 
         docs, _ = incremental_neardup(
-            docs, store, num_hashes=args.lsh_hashes, bands=args.lsh_bands
+            docs, store, num_hashes=args.lsh_hashes, bands=args.lsh_bands,
+            min_bands=args.neardup_min_bands, min_jaccard=min_jacc,
         )
         docs = pin(docs)
         report["after_neardup_dedup"] = docs.count()
-        # delta from the PINNED frame: lsh_bucket_store(kept) equals the
-        # delta incremental_neardup returned by construction, but reads
-        # the checkpointed blocks instead of re-running the batch's
-        # MinHash/bucket joins a second time just to write the delta
-        lsh_bucket_store(
+        # delta from the PINNED frame: the store maker on kept docs
+        # equals the delta incremental_neardup returned by
+        # construction, but reads the checkpointed blocks instead of
+        # re-running the batch's MinHash/bucket joins a second time
+        maker = lsh_signature_store if verified else lsh_bucket_store
+        maker(
             docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
         ).write.mode("append").parquet(args.dedup_store)
         report["dedup_store_mode"] = "incremental"
     else:
         clusters = neardup_clusters(
-            docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
+            docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands,
+            min_bands=args.neardup_min_bands, min_jaccard=min_jacc,
         )
         reps = clusters.filter(
             F.col("doc_id") == F.col("representative")
@@ -357,9 +377,11 @@ def main() -> None:
             from vlm_ocr_pipeline_spark.operators.text_dedup import (
                 ensure_dedup_meta,
                 lsh_bucket_store,
+                lsh_signature_store,
             )
 
-            lsh_bucket_store(
+            maker = lsh_signature_store if verified else lsh_bucket_store
+            maker(
                 docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
             ).write.mode("overwrite").parquet(args.dedup_store)
             ensure_dedup_meta(args.dedup_store, meta)

@@ -194,6 +194,7 @@ def _lsh_buckets(
     text_col: str,
     n: int,
     hash_family: str,
+    with_sig: bool = False,
 ) -> DataFrame:
     """(doc_id, bk) LSH bucket membership — the shared front-end of
     pair generation and cluster-label initialization.  All docs in one
@@ -204,14 +205,23 @@ def _lsh_buckets(
     an int plus a rows_per_band x 32-char string — the same exchange-
     bandwidth fix as the shingle hashing in ngram/span dedup (a 2^-64
     bucket collision merges two cliques; harmless for candidate
-    generation, which over-generates by design)."""
+    generation, which over-generates by design).
+
+    ``with_sig`` adds the full minhash signature as a ``sig`` array —
+    the verification payload for :func:`lsh_signature_store` /
+    signature-gated drops (Catalyst prunes it when unused)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, id_col, text_col, n, hash_family)
     band_cols = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         band_cols.append(F.xxhash64(F.lit(b), F.concat_ws("|", *cols)))
-    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+    sel = ["doc_id", F.explode(F.array(*band_cols)).alias("bk")]
+    if with_sig:
+        sel.append(
+            F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
+        )
+    return sig.select(*sel)
 
 
 def _bucket_pairs(buckets: DataFrame) -> DataFrame:
@@ -332,6 +342,8 @@ def neardup_clusters(
     text_col: str = "text",
     max_iterations: int = 20,
     stats: dict | None = None,
+    min_bands: int = 1,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     MinHash-LSH candidate-pair graph, as iterative min-label
@@ -372,35 +384,88 @@ def neardup_clusters(
     ``stats`` (optional dict) is filled with ``iterations`` and
     ``converged`` for tests/monitoring.
 
+    Candidate VERIFICATION (``min_bands`` / ``min_jaccard``): by
+    default any single shared band makes two docs cluster-mates — at
+    12 hashes / 4 bands a pair at Jaccard 0.5 shares a band with
+    p ≈ 41%, so raw LSH collisions over-merge plausibly-similar
+    non-dups.  ``min_bands >= 2`` requires that many shared bands;
+    ``min_jaccard`` additionally requires the signature-estimated
+    Jaccard (fraction of agreeing minhash components — an unbiased
+    estimator of the true Jaccard) to reach the threshold, the
+    SlimPajama/BigCode-style check before irreversible drops.  Both
+    gates run on the bounded candidate-pair set only (never all
+    pairs); when either is active the bucket-min label INIT is skipped
+    (a bucket is no longer automatically a clique) and labels start at
+    identity, so only verified edges merge.
+
     Output: (doc_id, representative, cluster_size) for EVERY document
     (singletons are their own representative).
     """
     import warnings
 
+    verified = min_bands > 1 or min_jaccard is not None
     buckets = _lsh_buckets(
-        docs, num_hashes, bands, id_col, text_col, 3, "md5"
+        docs, num_hashes, bands, id_col, text_col, 3, "md5",
+        with_sig=verified,
     ).localCheckpoint(eager=False)
-    pairs = _bucket_pairs(buckets).select("doc_a", "doc_b")
+    raw_pairs = _bucket_pairs(buckets.select("doc_id", "bk"))
+    if min_bands > 1:
+        raw_pairs = raw_pairs.filter(F.col("n_bands_shared") >= min_bands)
+    pairs = raw_pairs.select("doc_a", "doc_b")
+    if min_jaccard is not None:
+        sigs = buckets.select("doc_id", "sig").dropDuplicates(["doc_id"])
+        est = F.size(
+            F.filter(
+                F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x
+            )
+        ) / F.lit(num_hashes)
+        pairs = (
+            pairs.join(
+                sigs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa")
+                ),
+                "doc_a",
+            )
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb")
+                ),
+                "doc_b",
+            )
+            .filter(est >= F.lit(min_jaccard))
+            .select("doc_a", "doc_b")
+        )
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
         .localCheckpoint(eager=False)
     )
-    bmin = buckets.groupBy("bk").agg(F.min("doc_id").alias("_bmin"))
-    init = (
-        buckets.join(bmin, ["bk"])
-        .groupBy("doc_id")
-        .agg(F.min("_bmin").alias("_init"))
-    )
-    labels = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(init, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("_init", F.col("doc_id")).alias("label")
+    if verified:
+        # a bucket is only a CANDIDATE clique once gates are active —
+        # seeding labels from bucket minima would pre-merge rejected
+        # pairs, so start at identity and let verified edges propagate
+        labels = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("label"))
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
+    else:
+        bmin = buckets.groupBy("bk").agg(F.min("doc_id").alias("_bmin"))
+        init = (
+            buckets.join(bmin, ["bk"])
+            .groupBy("doc_id")
+            .agg(F.min("_bmin").alias("_init"))
+        )
+        labels = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .join(init, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("_init", F.col("doc_id")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
     converged = False
     iterations = 0
     for _ in range(max_iterations):
@@ -739,7 +804,9 @@ def dedup_store_exists(path: str) -> bool:
     return False
 
 
-def ensure_dedup_meta(store_dir: str, meta: dict) -> None:
+def ensure_dedup_meta(
+    store_dir: str, meta: dict, legacy_defaults: dict | None = None
+) -> None:
     """Pin the LSH parameters a bucket store was built with.
 
     Buckets built with different (num_hashes, bands, n, hash_family)
@@ -748,7 +815,11 @@ def ensure_dedup_meta(store_dir: str, meta: dict) -> None:
     parquet readers skip it) makes that a hard failure instead.  If the
     sidecar exists it must equal ``meta`` (raises ValueError); if
     missing (store seeded before the guard, or by an older streaming
-    run) it is backfilled so the NEXT mismatched run fails."""
+    run) it is backfilled so the NEXT mismatched run fails.
+
+    ``legacy_defaults`` fills keys ABSENT from an older stored sidecar
+    before comparing (metadata evolution: e.g. pre-signature stores
+    implicitly have ``signatures: false``)."""
     import json
     import os
 
@@ -756,6 +827,8 @@ def ensure_dedup_meta(store_dir: str, meta: dict) -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             stored = json.load(f)
+        if legacy_defaults:
+            stored = {**legacy_defaults, **stored}
         if stored != meta:
             raise ValueError(
                 f"dedup store {store_dir} was seeded with {stored} but this "
@@ -789,6 +862,34 @@ def lsh_bucket_store(
     return _lsh_buckets(
         docs, num_hashes, bands, id_col, text_col, n, hash_family
     ).select("bk").distinct()
+
+
+def lsh_signature_store(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """The VERIFIED dedup state: distinct (bk, sig) rows — each bucket
+    key carries the full minhash signature of the doc(s) that put it
+    there, so :func:`incremental_neardup` can check shared-band counts
+    and signature-estimated Jaccard against the SPECIFIC historical doc
+    before an irreversible drop, instead of treating any single
+    3-hash band collision as proof.  Costs ``num_hashes`` extra values
+    per row (~96 B/doc with xxhash64 signatures, ~384 B with md5 hex —
+    prefer ``hash_family='xxhash64'`` at corpus scale); still text-free
+    and append-only, same protocol as :func:`lsh_bucket_store`."""
+    return (
+        _lsh_buckets(
+            docs, num_hashes, bands, id_col, text_col, n, hash_family,
+            with_sig=True,
+        )
+        .select("bk", "sig")
+        .distinct()
+    )
 
 
 def content_hash_store(
@@ -849,42 +950,93 @@ def incremental_neardup(
     n: int = 3,
     hash_family: str = "md5",
     within_batch: bool = True,
+    min_bands: int = 1,
+    min_jaccard: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW crawl batch against the historical bucket store,
     then (optionally) within itself.  Returns ``(kept_docs,
-    new_buckets)`` — append ``new_buckets`` to the store after writing
+    new_state)`` — append ``new_state`` to the store after writing
     the kept docs, and the next batch dedups against both.
 
     Plan shape (the decontaminate pattern, inverted): the BATCH is the
     small side — its distinct buckets broadcast against the store scan,
     so the 100 TB store never shuffles and never broadcasts; the hit
     doc-ids (tiny) broadcast back as a left-anti.  Within-batch dedup
-    then runs :func:`neardup_clusters` on the survivors only.  A batch
-    doc that collides with history is dropped entirely (none of its
-    bands join the store — the standard recall trade: its other bands
-    were near-identical to the stored doc's anyway).
+    then runs :func:`neardup_clusters` on the survivors only.
+
+    Drop VERIFICATION: by default (``min_bands=1``, no jaccard gate) a
+    batch doc is dropped on ANY single shared bucket — cheap, but at
+    the default 12 hashes / 4 bands a non-dup pair at Jaccard 0.5
+    still collides with p ≈ 41%, a false-drop rate that compounds as
+    the store grows.  With a :func:`lsh_signature_store` (rows carry
+    ``sig``), ``min_bands`` requires that many distinct shared bands
+    WITH THE SAME stored signature, and ``min_jaccard`` requires the
+    signature-estimated Jaccard vs that stored doc to reach the
+    threshold — the standard verify-before-drop step.  The store scan
+    still never shuffles (its rows only stream into the same broadcast
+    join, now carrying ``sig``); verification math runs on the tiny
+    collision set.  Gates beyond the defaults raise if the store has
+    no ``sig`` column.
     """
+    verified = min_bands > 1 or min_jaccard is not None
+    if verified and "sig" not in store.columns:
+        raise ValueError(
+            "min_bands/min_jaccard verification needs a signature store "
+            "(lsh_signature_store); this store has columns "
+            f"{store.columns} — reseed with signatures or drop the gates"
+        )
     bk = _lsh_buckets(
-        new_docs, num_hashes, bands, id_col, text_col, n, hash_family
+        new_docs, num_hashes, bands, id_col, text_col, n, hash_family,
+        with_sig=verified,
     )
-    hit_bks = store.select("bk").join(F.broadcast(bk.select("bk").distinct()), "bk")
-    hit_ids = (
-        bk.join(F.broadcast(hit_bks.distinct()), "bk")
-        .select(F.col("doc_id").alias(id_col))
-        .distinct()
-    )
+    if not verified:
+        hit_bks = store.select("bk").join(
+            F.broadcast(bk.select("bk").distinct()), "bk"
+        )
+        hit_ids = (
+            bk.join(F.broadcast(hit_bks.distinct()), "bk")
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+        )
+    else:
+        # store rows whose bucket collides with the batch (store side
+        # streams into the broadcast join exactly as before, now with
+        # the signature payload along for the ride)
+        hit_rows = store.select("bk", F.col("sig").alias("_ssig")).join(
+            F.broadcast(bk.select("bk").distinct()), "bk"
+        )
+        # per (batch doc, stored signature): distinct shared bands +
+        # component agreement — all on the bounded collision set
+        cand = bk.join(F.broadcast(hit_rows), "bk")
+        per = cand.groupBy("doc_id", "_ssig").agg(
+            F.count_distinct("bk").alias("_nb"),
+            F.first("sig").alias("_sig"),
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with("_sig", "_ssig", lambda a, b: a == b), lambda x: x
+            )
+        ) / F.lit(num_hashes)
+        cond = F.col("_nb") >= F.lit(min_bands)
+        if min_jaccard is not None:
+            cond = cond & (est >= F.lit(min_jaccard))
+        hit_ids = (
+            per.filter(cond).select(F.col("doc_id").alias(id_col)).distinct()
+        )
     kept = new_docs.join(F.broadcast(hit_ids), id_col, "left_anti")
     if within_batch:
         # neardup_clusters pins n=3/md5 internally (its oracle shape)
         clusters = neardup_clusters(
             kept, num_hashes=num_hashes, bands=bands,
             id_col=id_col, text_col=text_col,
+            min_bands=min_bands, min_jaccard=min_jaccard,
         )
         reps = clusters.filter(
             F.col("doc_id") == F.col("representative")
         ).select(F.col("doc_id").alias(id_col))
         kept = kept.join(reps, id_col)
-    new_buckets = lsh_bucket_store(
+    maker = lsh_signature_store if verified else lsh_bucket_store
+    new_state = maker(
         kept, num_hashes, bands, id_col, text_col, n, hash_family
     )
-    return kept, new_buckets
+    return kept, new_state

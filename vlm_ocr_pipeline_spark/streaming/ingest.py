@@ -102,6 +102,8 @@ def stream_incremental_dedup_extract(
     store_dir: str,
     num_hashes: int = 8,
     bands: int = 4,
+    min_bands: int = 1,
+    min_jaccard: float | None = None,
 ):
     """Streaming extraction where every micro-batch near-dedups against
     the PERSISTENT corpus-lifetime bucket store and appends its delta —
@@ -129,14 +131,19 @@ def stream_incremental_dedup_extract(
     # the store format): verified before the stream starts, backfilled
     # on pre-guard stores, hard-fail on mismatch (mismatched buckets
     # never collide, so the stream would silently dedup nothing)
+    verified = min_bands > 1 or min_jaccard is not None
     meta = {"num_hashes": num_hashes, "bands": bands, "n": 3,
-            "hash_family": "md5"}
-    ensure_dedup_meta(store_dir, meta)
+            "hash_family": "md5", "signatures": verified}
+    ensure_dedup_meta(store_dir, meta, legacy_defaults={"signatures": False})
 
     pages = read_pages_stream(spark, input_dir)
 
     def handle(batch_df, batch_id: int) -> None:
-        from ..operators.text_dedup import dedup_store_exists, lsh_bucket_store
+        from ..operators.text_dedup import (
+            dedup_store_exists,
+            lsh_bucket_store,
+            lsh_signature_store,
+        )
 
         sess = batch_df.sparkSession
         ext = extract(
@@ -151,18 +158,21 @@ def stream_incremental_dedup_extract(
         # read error against an EXISTING store must propagate, not be
         # silently treated as an empty store (which would re-admit
         # every historical duplicate for this batch)
+        store_cols = "bk long, sig array<string>" if verified else "bk long"
         if dedup_store_exists(store_dir):
-            store = sess.read.parquet(store_dir).select("bk")
+            store = sess.read.parquet(store_dir)
         else:
-            store = sess.createDataFrame([], "bk long")
+            store = sess.createDataFrame([], store_cols)
         kept, _ = incremental_neardup(
-            docs, store, num_hashes=num_hashes, bands=bands
+            docs, store, num_hashes=num_hashes, bands=bands,
+            min_bands=min_bands, min_jaccard=min_jaccard,
         )
         # pin kept once: the write below and the delta both consume it,
         # and a recompute would re-run extraction + both dedup joins
         kept = kept.localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
-        lsh_bucket_store(kept, num_hashes, bands).write.mode("overwrite").parquet(
+        maker = lsh_signature_store if verified else lsh_bucket_store
+        maker(kept, num_hashes, bands).write.mode("overwrite").parquet(
             f"{store_dir}/batch_id={batch_id}"
         )
 
