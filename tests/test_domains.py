@@ -160,3 +160,78 @@ def test_blocklist_filter_reserved_column_guard(spark):
     df = spark.createDataFrame([("https://a.example.org/x", "y")], "url string, _dom string")
     with _pytest.raises(ValueError, match="_dom"):
         blocklist_filter(df, ["example.org"])
+
+
+def test_percent_encoding_normalization(spark):
+    """RFC 3986 §6.2.2: unreserved escapes decode, other escapes get
+    uppercase hex, reserved escapes never decode — mirror variants
+    merge under canonical_url and the DuckDB twin agrees."""
+    import duckdb
+
+    from vlm_ocr_pipeline_spark.operators.urls import (
+        canonical_url,
+        percent_normalize,
+        py_percent_normalize,
+        sql_percent_normalize,
+    )
+
+    samples = [
+        "https://example.org/%7Euser/page",
+        "https://example.org/~user/page",
+        "https://example.org/%7euser/page",        # lowercase hex
+        "https://example.org/a%2fb",               # reserved: keep, upcase
+        "https://example.org/a%2Fb",
+        "https://example.org/%41%62c?q=%5a",       # %41->A %62->b %5a->Z
+        "https://example.org/50%25off",            # %25 ('%') reserved: keep
+        "https://example.org/broken%zz%4",         # malformed: untouched
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, url string")
+    got = {r["i"]: r["n"] for r in df.select("i", percent_normalize(F.col("url")).alias("n")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(samples)))
+    exp = dict(con.execute(f"SELECT i, {sql_percent_normalize('url')} FROM t").fetchall())
+    for i, s in enumerate(samples):
+        assert got[i] == exp[i] == py_percent_normalize(s), s
+    assert got[0] == got[1] == got[2] == "https://example.org/~user/page"
+    assert got[3] == got[4] == "https://example.org/a%2Fb"
+    assert got[5] == "https://example.org/Abc?q=Z"
+    assert got[6] == samples[6]
+    assert got[7] == samples[7]
+
+    canon = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[0] == canon[1] == canon[2]  # mirror merge
+    assert canon[3] == canon[4]
+    assert canon[8] == ""  # schemeless passthrough unchanged
+
+
+def test_robots_percent_encoded_paths_match(spark):
+    """RFC 9309 percent-encoding consistency: an encoded rule matches
+    the decoded page path and vice versa (unreserved chars), while
+    encoded-reserved octets compare case-insensitively on hex."""
+    from vlm_ocr_pipeline_spark.operators.urls import (
+        parse_robots_rules,
+        robots_disallow_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [("example.org",
+          "User-agent: *\nDisallow: /%7Eprivate\nDisallow: /a%2fb\n")],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(robots)
+    got = {r["path_prefix"] for r in rules.collect()}
+    assert got == {"/~private", "/a%2Fb"}
+    pages = spark.createDataFrame(
+        [
+            ("https://example.org/~private/x",),     # decoded page, encoded rule
+            ("https://example.org/%7eprivate/y",),   # encoded page
+            ("https://example.org/a%2Fb",),          # reserved octet, case-variant
+            ("https://example.org/a%2fb",),
+            ("https://example.org/public",),
+        ],
+        "url string",
+    )
+    kept = [r["url"] for r in robots_disallow_filter(pages, rules).collect()]
+    assert kept == ["https://example.org/public"]

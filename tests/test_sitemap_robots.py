@@ -115,6 +115,52 @@ def test_read_sitemap_tree_recurses_bounded_and_cycle_safe(spark, tmp_path):
     assert set(skipped["url"]) == {base + "a", base + "b"}
 
 
+def test_robots_sitemap_directive_chains_to_url_tree(spark, tmp_path):
+    """robots -> Sitemap: -> index -> urlset: the crawl-discovery
+    chain (round-4 verdict item 3)."""
+    from vlm_ocr_pipeline_spark.operators.urls import parse_robots_sitemaps
+    from vlm_ocr_pipeline_spark.sources.sitemap import discover_sitemaps
+
+    base = "https://example.org/"
+    (tmp_path / "idx.xml").write_text(_idx(base + "leafA.xml"))
+    (tmp_path / "leafA.xml").write_text(_urlset(base + "p1", base + "p2"))
+    (tmp_path / "direct.xml").write_text(_urlset(base + "p3"))
+    robots = spark.createDataFrame(
+        [
+            ("example.org",
+             "User-agent: *\nDisallow: /private\n"
+             "SiteMap: https://example.org/idx.xml  # mixed case + comment\n"
+             f"sitemap: {base}direct.xml\n"),
+            ("other.example", "User-agent: *\nDisallow:\n"),  # none declared
+        ],
+        "host string, body string",
+    )
+    sm = parse_robots_sitemaps(robots).toPandas()
+    assert set(zip(sm["host"], sm["sitemap_url"])) == {
+        ("example.org", base + "idx.xml"),
+        ("example.org", base + "direct.xml"),
+    }
+    resolve = lambda u: str(tmp_path / u.rsplit("/", 1)[1])  # noqa: E731
+    out = discover_sitemaps(robots, resolve).toPandas()
+    got = dict(zip(out["url"], out["depth"]))
+    # direct urlset pages at depth 0, index children at depth 1
+    assert got == {base + "p3": 0, base + "p1": 1, base + "p2": 1}
+    assert out["kind"].eq("url").all()
+    # robots with no declarations -> empty frame, stable schema
+    none = discover_sitemaps(
+        robots.filter("host = 'other.example'"), resolve
+    )
+    assert none.count() == 0
+    assert none.columns == ["sitemap_file", "kind", "url", "lastmod", "depth"]
+    # Sitemap lines must not disturb rule-group parsing
+    from vlm_ocr_pipeline_spark.operators.urls import parse_robots_rules
+
+    rules = parse_robots_rules(robots).toPandas()
+    assert list(zip(rules["rule"], rules["path_prefix"])) == [
+        ("disallow", "/private")
+    ]
+
+
 ROBOTS = """# comment line
 User-agent: SpecialBot
 Disallow: /everything

@@ -13,6 +13,64 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
+# RFC 3986 §2.3 unreserved characters: percent-encodings of these are
+# equivalent to the bare character and MUST decode during
+# normalization (§6.2.2.2); all other escapes only get uppercase hex
+# (§6.2.2.1).  Reserved characters (%2F, %3F, ...) are never decoded,
+# so normalization can't change URL structure.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+import re as _re
+
+_PCT_RE = _re.compile("%([0-9A-Fa-f]{2})")
+
+
+def py_percent_normalize(s: str) -> str:
+    """Python twin of :func:`percent_normalize` (used when rules parse
+    in Python, e.g. robots.txt paths)."""
+    def sub(m):
+        h = m.group(1).upper()
+        c = chr(int(h, 16))
+        return c if c in _UNRESERVED else "%" + h
+
+    return _PCT_RE.sub(sub, s or "")
+
+
+def percent_normalize(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, JVM-side:
+    decode escapes of unreserved characters (%7E -> ~, %41 -> A) and
+    uppercase the hex of everything else (%2f -> %2F).  Without this,
+    mirror detection under-merges (%7Euser vs ~user) and robots path
+    matching misses encoded rules.  A chain of literal replaces — one
+    per unreserved code plus 12 hex-case rewrites — all inside
+    whole-stage codegen; URLs are short, so the repeated scans are
+    noise next to any hash."""
+    # uppercase the FIRST hex digit (requires a valid second digit, so
+    # stray '%' runs in malformed URLs stay untouched) ...
+    for d in "abcdef":
+        col = F.regexp_replace(col, f"%{d}([0-9A-Fa-f])", f"%{d.upper()}$1")
+    # ... then the second digit (first is uppercase by now)
+    for d in "abcdef":
+        col = F.regexp_replace(col, f"(%[0-9A-F]){d}", f"$1{d.upper()}")
+    for c in _UNRESERVED:
+        col = F.replace(col, F.lit(f"%{ord(c):02X}"), F.lit(c))
+    return col
+
+
+def sql_percent_normalize(col: str) -> str:
+    """DuckDB twin of :func:`percent_normalize` (same rewrite chain,
+    RE2 \\1 rewrite syntax)."""
+    e = col
+    for d in "abcdef":
+        e = f"regexp_replace({e}, '%{d}([0-9A-Fa-f])', '%{d.upper()}\\1', 'g')"
+    for d in "abcdef":
+        e = f"regexp_replace({e}, '(%[0-9A-F]){d}', '\\1{d.upper()}', 'g')"
+    for c in _UNRESERVED:
+        lit = c.replace("'", "''")
+        e = f"replace({e}, '%{ord(c):02X}', '{lit}')"
+    return e
+
 
 def _is_tracking(p: Column) -> Column:
     cond = F.lit(False)
@@ -22,13 +80,17 @@ def _is_tracking(p: Column) -> Column:
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, default port stripped,
-    empty path -> '/', non-root trailing slash stripped, tracking
-    params dropped, surviving params SORTED, fragment dropped.
+    """Canonical form: percent-encoding normalized (RFC 3986 §6.2.2 —
+    unreserved escapes decoded, remaining hex uppercased), lowercase
+    scheme+host, default port stripped, empty path -> '/', non-root
+    trailing slash stripped, tracking params dropped, surviving params
+    SORTED, fragment dropped.
 
     URLs without a ``scheme://`` prefix pass through UNCHANGED — the
     alternative (every schemeless string collapsing to ':///') would
     merge unrelated malformed rows into one dedup group."""
+    raw = url
+    url = percent_normalize(url)
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
     # strip default ports (:80 http, :443 https)
     host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
@@ -52,7 +114,7 @@ def canonical_url(url: Column) -> Column:
     qs = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", F.sort_array(params)))
     ).otherwise("")
-    return F.when(scheme == "", url).otherwise(
+    return F.when(scheme == "", raw).otherwise(
         F.concat(scheme, F.lit("://"), host, path, qs)
     )
 
@@ -430,6 +492,11 @@ def parse_robots_rules(
                     if sel not in ag:
                         continue
                     for field, value in rules:
+                        # RFC 9309 matches percent-encoded octets
+                        # consistently: normalize the rule here, the
+                        # page path in robots_disallow_filter (same
+                        # RFC 3986 §6.2.2 rewrite on both sides)
+                        value = py_percent_normalize(value)
                         rows.append(
                             {
                                 "host": host,
@@ -446,6 +513,35 @@ def parse_robots_rules(
         F.col(host_col).alias(host_col), F.col(body_col).alias(body_col)
     ).mapInPandas(
         gen, schema="host string, rule string, path_prefix string, pattern string"
+    )
+
+
+def parse_robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies -> (host,
+    sitemap_url) rows — the crawl-discovery chain's first hop (robots
+    -> sitemap index -> urlsets, see
+    :func:`~vlm_ocr_pipeline_spark.sources.sitemap.discover_sitemaps`).
+
+    Sitemap records are GROUP-INDEPENDENT (they apply regardless of
+    user-agent groups, per the sitemaps.org extension RFC 9309 §2.2.4
+    points at), so this is a pure JVM projection: one case-insensitive
+    multiline regex over each body, no Python.  The URL value stops at
+    whitespace or '#' (trailing comments); relative values are emitted
+    as-is — resolution policy belongs to the caller's ``resolve``."""
+    sm = F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"),
+        F.lit(1),
+    )
+    return (
+        robots.select(
+            F.lower(F.col(host_col)).alias("host"),
+            F.explode(sm).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
     )
 
 
@@ -473,7 +569,11 @@ def robots_disallow_filter(
             )
     key = "host" if "host" in rules.columns else "domain"  # legacy key name
     if "pattern" not in rules.columns:
-        rules = rules.withColumn("pattern", _robots_rule_regex_col(F.col("path_prefix")))
+        # legacy rule tables: normalize percent-encodings (idempotent)
+        # before compiling, matching what parse_robots_rules emits
+        rules = rules.withColumn(
+            "path_prefix", percent_normalize(F.col("path_prefix"))
+        ).withColumn("pattern", _robots_rule_regex_col(F.col("path_prefix")))
     rule_arrays = rules.groupBy(F.col(key).alias("_rhost")).agg(
         F.collect_list(F.struct("rule", "path_prefix", "pattern")).alias("_rules")
     )
@@ -483,9 +583,11 @@ def robots_disallow_filter(
     pathq = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/?#]+([^#]*)", 1)
     tagged = pages.withColumn("_host", host).withColumn(
         "_path",
-        F.when(pathq == "", "/")
-        .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
-        .otherwise(pathq),
+        percent_normalize(
+            F.when(pathq == "", "/")
+            .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+            .otherwise(pathq)
+        ),
     )
     j = tagged.join(
         F.broadcast(rule_arrays),

@@ -62,7 +62,7 @@ def read_sitemap(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
 def read_sitemap_tree(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     max_depth: int = 3,
     resolve=None,
 ) -> DataFrame:
@@ -90,11 +90,11 @@ def read_sitemap_tree(
     frame = read_sitemap(spark, path).withColumn("depth", F.lit(0))
     out = frame.filter(F.col("kind") == "url")
     seen: set[str] = set()
-    # cycle safety runs on RESOLVED PATHS, seeded with the root: a
-    # child entry re-declaring the root (or two URL aliases resolving
+    # cycle safety runs on RESOLVED PATHS, seeded with the root(s): a
+    # child entry re-declaring a root (or two URL aliases resolving
     # to one path) must not re-read — and re-emit — a file's page rows
     # at a second depth.  URL-level dedup alone missed both cases.
-    seen_paths: set[str] = {path}
+    seen_paths: set[str] = set([path] if isinstance(path, str) else path)
     for depth in range(1, max_depth + 1):
         children = [
             r["url"]
@@ -118,3 +118,55 @@ def read_sitemap_tree(
         frame = read_sitemap(spark, paths).withColumn("depth", F.lit(depth))
         out = out.unionByName(frame.filter(F.col("kind") == "url"))
     return out
+
+
+def discover_sitemaps(
+    robots: DataFrame,
+    resolve,
+    max_depth: int = 3,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """The full crawl-discovery chain: robots.txt ``Sitemap:``
+    directives -> sitemap indexes -> page URLs.
+
+    ``resolve(url) -> path | None`` maps each declared sitemap URL to
+    a readable fetched copy (required here — robots always declares
+    URLs, never local paths).  The robots side is tiny (one body per
+    host), so collecting its distinct declared URLs is bounded side
+    metadata — the same contract as :func:`read_sitemap_tree`'s
+    per-level collect; page rows stay distributed.
+
+    ALL declared roots walk in ONE tree (the level loop batches every
+    host's files into one read per depth), so the driver round-trips
+    scale with tree DEPTH, never with host count — per-host walks
+    would serialize thousands of Spark jobs.  Per-host attribution,
+    when needed, joins page URLs back to
+    :func:`~vlm_ocr_pipeline_spark.operators.urls.parse_robots_sitemaps`
+    output (cross-host declarations are legal, so file-level
+    attribution is ambiguous by nature).
+
+    Output: (sitemap_file, kind='url', url, lastmod, depth)."""
+    from ..operators.urls import parse_robots_sitemaps
+
+    spark = robots.sparkSession
+    declared = (
+        parse_robots_sitemaps(robots, host_col, body_col)
+        .select("sitemap_url")
+        .distinct()
+        .collect()
+    )
+    roots = []
+    seen: set[str] = set()
+    for r in declared:
+        p = resolve(r["sitemap_url"])
+        if p is not None and p not in seen:
+            seen.add(p)
+            roots.append(p)
+    if not roots:
+        return spark.createDataFrame(
+            [],
+            "sitemap_file string, kind string, url string, "
+            "lastmod string, depth int",
+        )
+    return read_sitemap_tree(spark, roots, max_depth=max_depth, resolve=resolve)
