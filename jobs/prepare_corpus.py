@@ -93,6 +93,11 @@ def main() -> None:
                     help="if > 0, train a BPE vocab of this many merges "
                          "on the deduped corpus, pack shards by LEARNED "
                          "token counts, and write bpe_merges.json")
+    ap.add_argument("--unigram-vocab", type=int, default=0,
+                    help="if > 0, train a SentencePiece-style unigram-LM "
+                         "vocab of this size instead (mutually exclusive "
+                         "with --bpe-merges), pack shards by its Viterbi "
+                         "token counts, and write unigram_vocab.json")
     ap.add_argument("--scrub-span-ngram", type=int, default=0,
                     help="if > 0, remove word spans covered by n-grams "
                          "shared across docs (substring-level dedup)")
@@ -112,6 +117,12 @@ def main() -> None:
                          "estimated Jaccard vs the colliding doc to "
                          "reach this value before dropping (verified "
                          "drops; store carries signatures)")
+    ap.add_argument("--compact-dedup-store", action="store_true",
+                    help="after appending this batch's delta, distinct-"
+                         "merge the store's accumulated deltas into one "
+                         "partition set (bounds scan cost as batches "
+                         "accumulate); before/after stats land in the "
+                         "report")
     ap.add_argument("--epoch-seed", default="",
                     help="if set, write the corpus in deterministic "
                          "shuffled order keyed by this seed")
@@ -249,8 +260,17 @@ def main() -> None:
             train_quality_classifier,
         )
 
+        from vlm_ocr_pipeline_spark.operators.textstats import (
+            calibrate_quality_classifier,
+        )
+
         ref = spark.read.parquet(args.quality_reference)
         model = train_quality_classifier(ref, docs)
+        # held-out AUC + threshold sweep so --min-p-good is chosen
+        # from data (suggested_threshold = best F1 on the holdout)
+        report["quality_classifier"] = calibrate_quality_classifier(
+            ref, docs, model
+        )
         keep = quality_classifier_score(docs, model).filter(
             F.col("p_good") >= args.min_p_good
         )
@@ -363,6 +383,14 @@ def main() -> None:
             docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands
         ).write.mode("append").parquet(args.dedup_store)
         report["dedup_store_mode"] = "incremental"
+        if args.compact_dedup_store:
+            from vlm_ocr_pipeline_spark.operators.text_dedup import (
+                compact_dedup_store,
+            )
+
+            report["dedup_store_compaction"] = compact_dedup_store(
+                spark, args.dedup_store
+            )
     else:
         clusters = neardup_clusters(
             docs, num_hashes=args.lsh_hashes, bands=args.lsh_bands,
@@ -392,8 +420,12 @@ def main() -> None:
     # corpus (distributed word count, driver merge loop) and the merge
     # list lands next to the corpus so the training run tokenizes with
     # exactly the vocabulary the shards were budgeted in.
+    if args.bpe_merges > 0 and args.unigram_vocab > 0:
+        raise SystemExit("--bpe-merges and --unigram-vocab are mutually "
+                         "exclusive (pick one tokenizer)")
     split = deterministic_split(docs, args.test_fraction)
     merges = None
+    counts = None
     if args.bpe_merges > 0:
         from vlm_ocr_pipeline_spark.operators.bpe import train_bpe_vocab
 
@@ -402,7 +434,23 @@ def main() -> None:
         with open(os.path.join(args.output, "bpe_merges.json"), "w") as f:
             json.dump([list(p) for p in merges], f)
         report["bpe_merges"] = len(merges)
-    shards = pack_token_shards(docs, args.tokens_per_shard, bpe_merges=merges)
+    elif args.unigram_vocab > 0:
+        from vlm_ocr_pipeline_spark.operators.unigram_lm import (
+            apply_unigram,
+            train_unigram_vocab,
+        )
+
+        vocab = train_unigram_vocab(docs, vocab_size=args.unigram_vocab)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "unigram_vocab.json"), "w") as f:
+            json.dump([[p, lp] for p, lp in vocab], f)
+        report["unigram_vocab"] = len(vocab)
+        counts = apply_unigram(docs, vocab).select(
+            "doc_id", F.col("n_ul_tokens").cast("long").alias("n_tokens")
+        )
+    shards = pack_token_shards(
+        docs, args.tokens_per_shard, bpe_merges=merges, counts=counts
+    )
     corpus = docs.join(split, "doc_id").join(shards, "doc_id")
 
     # 7. optional deterministic epoch order for the tokenizer reader

@@ -896,3 +896,112 @@ def test_sample_frames_every_k(spark):
     assert len(set(one)) == len(one)
     with pytest.raises(ValueError):
         multimodal.sample_frames(media, every_k=0)
+
+
+def test_compact_dedup_store_equals_full_rebuild(spark, tmp_path):
+    """Lifecycle: three appended deltas -> compact == one-shot store
+    built from all batches; duplicate bucket rows and small files gone,
+    membership identical, sidecar preserved.  Signature stores compact
+    the same way (sig column kept)."""
+    import json
+    import os
+
+    batches = [
+        spark.createDataFrame(
+            [(100 * b + i, _sentence(i + 10 * b)) for i in range(6)],
+            ["doc_id", "text"],
+        )
+        for b in range(3)
+    ]
+    path = str(tmp_path / "store")
+    for b in batches:
+        # deliberate overlap: every batch re-appends batch 0's buckets
+        text_dedup.lsh_bucket_store(
+            batches[0].unionByName(b), num_hashes=8, bands=4
+        ).write.mode("append").parquet(path)
+    text_dedup.ensure_dedup_meta(path, {"num_hashes": 8, "bands": 4})
+    before = text_dedup.dedup_store_stats(spark, path)
+    assert before["redundant_rows"] > 0 and before["files"] > 1
+    res = text_dedup.compact_dedup_store(spark, path)
+    assert res["rows_before"] == before["rows"]
+    assert res["rows_after"] == before["distinct_rows"]
+    assert res["files_after"] < res["files_before"]
+    # membership == full rebuild over all docs
+    alldocs = batches[0]
+    for b in batches[1:]:
+        alldocs = alldocs.unionByName(b)
+    want = {
+        r["bk"]
+        for r in text_dedup.lsh_bucket_store(
+            alldocs, num_hashes=8, bands=4
+        ).collect()
+    }
+    got = {r["bk"] for r in spark.read.parquet(path).collect()}
+    assert got == want
+    # sidecar survived the directory swap
+    meta = json.load(open(os.path.join(path, "_dedup_meta.json")))
+    assert meta == {"num_hashes": 8, "bands": 4}
+    # incremental filtering against the compacted store still works
+    dup = batches[1].limit(1)
+    kept, _ = text_dedup.incremental_neardup(
+        dup, spark.read.parquet(path), num_hashes=8, bands=4,
+        within_batch=False,
+    )
+    assert kept.count() == 0
+
+    # signature-store variant keeps the sig column through compaction
+    spath = str(tmp_path / "sigstore")
+    for b in batches[:2]:
+        text_dedup.lsh_signature_store(
+            batches[0].unionByName(b), num_hashes=8, bands=4
+        ).write.mode("append").parquet(spath)
+    res2 = text_dedup.compact_dedup_store(spark, spath)
+    assert res2["rows_after"] < res2["rows_before"]
+    out = spark.read.parquet(spath)
+    assert set(out.columns) == {"bk", "sig"}
+
+
+def test_quality_classifier_calibration_surface(spark):
+    """Held-out AUC + threshold sweep (round-4 verdict item 7): the
+    holdout is the hash-order window AFTER the training sample, so on
+    planted good/bad corpora AUC is ~1, the sweep is well-formed, and
+    the suggested threshold separates the classes.  Deterministic."""
+    prose = [
+        f"the committee published its report on topic {i} with careful detail"
+        for i in range(80)
+    ]
+    spam = [
+        f"buy cheap buy cheap best price {i} click now win win free spins"
+        for i in range(80)
+    ]
+    pos = spark.createDataFrame(list(enumerate(prose)), ["doc_id", "text"])
+    neg = spark.createDataFrame(list(enumerate(spam)), ["doc_id", "text"])
+    # small train window so a real holdout remains
+    model = textstats.train_quality_classifier(
+        pos, neg, dim=1 << 14, sample_size=40, epochs=4
+    )
+    cal = textstats.calibrate_quality_classifier(
+        pos, neg, model, train_sample_size=40, holdout_size=30
+    )
+    cal2 = textstats.calibrate_quality_classifier(
+        pos, neg, model, train_sample_size=40, holdout_size=30
+    )
+    assert cal == cal2  # deterministic
+    assert cal["n_pos_holdout"] == cal["n_neg_holdout"] == 30
+    assert cal["auc"] is not None and cal["auc"] >= 0.9
+    assert len(cal["sweep"]) == 19
+    t = cal["suggested_threshold"]
+    assert 0.05 <= t <= 0.95
+    row = next(r for r in cal["sweep"] if r["threshold"] == t)
+    assert row["f1"] >= 0.9
+    import json
+
+    json.dumps(cal)  # report-ready
+
+    # degenerate corpus (smaller than the training window): explicit
+    # None, not a sweep over nothing
+    tiny = spark.createDataFrame([(0, "just one doc")], ["doc_id", "text"])
+    cal3 = textstats.calibrate_quality_classifier(
+        tiny, neg, model, train_sample_size=40, holdout_size=30
+    )
+    assert cal3["auc"] is None and cal3["suggested_threshold"] is None

@@ -50,6 +50,7 @@ def pack_token_shards(
     num_range_partitions: int | None = None,
     checkpoint: bool = True,
     bpe_merges: list | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Pack documents (in id order) into shards of ~``tokens_per_shard``
     whitespace tokens: shard_id = floor(exclusive_prefix_sum / budget).
@@ -57,7 +58,9 @@ def pack_token_shards(
     :func:`~vlm_ocr_pipeline_spark.operators.bpe.train_bpe_vocab`),
     budgets count LEARNED subword tokens instead — the real
     training-run shard unit; the regex-free whitespace count stays the
-    oracle-checked default.
+    oracle-checked default.  ``counts`` (a (doc_id, n_tokens) frame,
+    e.g. from the unigram-LM tokenizer) overrides both — any learned
+    counter budgets shards through the same two-phase prefix sum.
 
     Scale shape: a naive global window (Window.orderBy with no
     partition) funnels the whole table through ONE task.  Instead the
@@ -78,7 +81,12 @@ def pack_token_shards(
     """
     sess = docs.sparkSession
     p = num_range_partitions or sess.sparkContext.defaultParallelism
-    if bpe_merges is not None:
+    if counts is not None:
+        counted = counts.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    elif bpe_merges is not None:
         from .bpe import apply_bpe
 
         counted = apply_bpe(docs, bpe_merges, id_col, text_col).select(

@@ -892,6 +892,75 @@ def lsh_signature_store(
     )
 
 
+def dedup_store_stats(spark, path: str) -> dict:
+    """Operational surface for a persistent dedup store: part-file
+    count (cheap, filesystem walk) plus row / distinct-bucket counts
+    (one scan).  Append-only stores accumulate both duplicate rows
+    (the same bucket re-emitted by later batches) and small delta
+    files — this is how an operator decides when
+    :func:`compact_dedup_store` is due."""
+    import os
+
+    n_files = 0
+    for _root, _dirs, files in os.walk(path):
+        n_files += sum(f.endswith(".parquet") for f in files)
+    df = spark.read.parquet(path)
+    cols = [c for c in df.columns if c != "batch_id"]
+    rows = df.count()
+    distinct = df.select(*cols).distinct().count()
+    return {
+        "files": n_files,
+        "rows": rows,
+        "distinct_rows": distinct,
+        "redundant_rows": rows - distinct,
+        "columns": cols,
+    }
+
+
+def compact_dedup_store(spark, path: str, target_rows_per_file: int = 4_000_000) -> dict:
+    """Distinct-merge every delta of an append-only dedup store and
+    rewrite it as one partition set — the lifecycle step a
+    continuous-crawl store needs: each batch appends its (possibly
+    overlapping) bucket delta, so rows and file count grow monotonically
+    even when the distinct bucket set barely moves, and scan cost grows
+    with them.  Works on bucket stores, signature stores, and the
+    streaming twin's ``batch_id=N`` layout (the partition column is
+    dropped — bucket identity is global).
+
+    The rewrite goes to a sibling temp dir, then swaps directories and
+    re-writes the `_dedup_meta.json` sidecar; the swap window is not
+    transactional on a plain filesystem (this container has no
+    table-format jars) — production deployments put the store in a
+    transactional table and ALTER-swap instead, same distinct-merge
+    plan.  Returns before/after stats."""
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(path, "_dedup_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    before = dedup_store_stats(spark, path)
+    df = spark.read.parquet(path).select(*before["columns"]).distinct()
+    n_parts = max(1, -(-before["distinct_rows"] // target_rows_per_file))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_parts, "bk").write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    if meta is not None:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    after = dedup_store_stats(spark, path)
+    return {
+        "rows_before": before["rows"],
+        "files_before": before["files"],
+        "rows_after": after["rows"],
+        "files_after": after["files"],
+    }
+
+
 def content_hash_store(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

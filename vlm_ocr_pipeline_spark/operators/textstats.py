@@ -140,13 +140,18 @@ def _quality_base_cols(text_col: str) -> list[Column]:
     ]
 
 
-_QUALITY_FINAL = [
-    F.col("n_words"),
-    (F.col("_n_chars") / F.col("n_words")).alias("mean_word_len"),
-    (F.col("_n_stop") / F.col("n_words")).alias("stopword_ratio"),
-    (F.col("_n_punct") / F.col("_n_chars")).alias("punct_ratio"),
-    (F.col("_n_digit") / F.col("_n_chars")).alias("digit_ratio"),
-]
+def _quality_final_cols() -> list[Column]:
+    """Stage-2 ratios over :func:`_quality_base_cols` columns.  (A
+    function, not a module constant: F.col needs a live SparkContext
+    in classic mode, and this module imports before any session in
+    tests/driver tooling.)"""
+    return [
+        F.col("n_words"),
+        (F.col("_n_chars") / F.col("n_words")).alias("mean_word_len"),
+        (F.col("_n_stop") / F.col("n_words")).alias("stopword_ratio"),
+        (F.col("_n_punct") / F.col("_n_chars")).alias("punct_ratio"),
+        (F.col("_n_digit") / F.col("_n_chars")).alias("digit_ratio"),
+    ]
 
 
 def _script_count(col: Column, ranges: tuple[tuple[int, int], ...]) -> Column:
@@ -213,7 +218,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     shuffle, no re-evaluated tokenizer."""
     return docs.select(
         F.col(id_col).alias("doc_id"), *_quality_base_cols(text_col)
-    ).select("doc_id", *_QUALITY_FINAL)
+    ).select("doc_id", *_quality_final_cols())
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -239,7 +244,7 @@ def quality_lang(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     return scored.select(
         "doc_id",
-        *_QUALITY_FINAL,
+        *_quality_final_cols(),
         _predicted_lang_col(),
         *[F.col(f"score_{lang}") for lang in _lang_codes()],
     )
@@ -480,6 +485,97 @@ def train_quality_classifier(
             np.add.at(w, feats, -lr * g / len(feats))
             b -= lr * g
     return w, b
+
+
+def calibrate_quality_classifier(
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    model,
+    train_sample_size: int = 2048,
+    holdout_size: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Held-out calibration for a :func:`train_quality_classifier`
+    model, so ``--min-p-good`` is chosen from data instead of guessed.
+
+    The trainer consumes the ``train_sample_size`` lowest-xxhash64(id)
+    docs per side; the held-out set is the NEXT ``holdout_size`` docs
+    in the same deterministic hash order — disjoint by construction,
+    no RNG.  Scoring runs driver-side over those bounded samples (the
+    model is a weight vector; executors aren't needed for ~1k rows).
+
+    Returns a JSON-ready dict: exact rank-based ROC AUC, the
+    positive-rate threshold sweep (precision/recall/F1 at 0.05 steps),
+    and the best-F1 ``suggested_threshold``.  ``auc`` is None when a
+    side has no held-out docs beyond the training window (corpus
+    smaller than the sample) — callers surface that instead of
+    trusting a sweep over nothing."""
+    import numpy as np
+
+    w, b = model
+    dim = len(w)
+
+    def window(df):
+        rows = (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+            .withColumn("_h", F.xxhash64(F.col("_id")))
+            .orderBy("_h", "_id")
+            .limit(train_sample_size + holdout_size)
+            .collect()
+        )
+        return rows[train_sample_size:]
+
+    def score(t):
+        feats = _hashed_feature_indices(t, dim)
+        if len(feats) == 0:
+            return None
+        return float(1.0 / (1.0 + np.exp(-(w[feats].mean() + b))))
+
+    pos = [s for s in (score(r["_t"]) for r in window(pos_docs)) if s is not None]
+    neg = [s for s in (score(r["_t"]) for r in window(neg_docs)) if s is not None]
+    out: dict = {"n_pos_holdout": len(pos), "n_neg_holdout": len(neg)}
+    if not pos or not neg:
+        out.update({"auc": None, "sweep": [], "suggested_threshold": None})
+        return out
+    # exact AUC = P(pos > neg) + 0.5 P(tie), via the rank statistic
+    allscores = sorted(pos + neg)
+    import bisect
+
+    def rank_mass(s):  # average rank of s among allscores (1-based)
+        lo = bisect.bisect_left(allscores, s)
+        hi = bisect.bisect_right(allscores, s)
+        return (lo + hi + 1) / 2.0
+
+    r_sum = sum(rank_mass(s) for s in pos)
+    auc = (r_sum - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
+    sweep = []
+    best = None
+    for i in range(1, 20):
+        t = round(i * 0.05, 2)
+        tp = sum(s >= t for s in pos)
+        fp = sum(s >= t for s in neg)
+        fn = len(pos) - tp
+        prec = tp / (tp + fp) if tp + fp else None
+        rec = tp / (tp + fn) if tp + fn else None
+        f1 = (
+            2 * prec * rec / (prec + rec)
+            if prec is not None and rec is not None and (prec + rec) > 0
+            else 0.0
+        )
+        sweep.append(
+            {"threshold": t, "precision": prec, "recall": rec, "f1": round(f1, 4)}
+        )
+        if best is None or f1 > best[0]:
+            best = (f1, t)
+    out.update(
+        {
+            "auc": round(auc, 4),
+            "sweep": sweep,
+            "suggested_threshold": best[1],
+        }
+    )
+    return out
 
 
 def quality_classifier_score(
