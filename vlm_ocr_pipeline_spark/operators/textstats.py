@@ -51,11 +51,10 @@ LANG_SCRIPTS: dict[str, tuple[int, tuple[tuple[int, int], ...]]] = {
 
 
 def _count_occurrences(haystack: Column, needle: str) -> Column:
-    """Occurrences of ``needle`` via length arithmetic (portable SQL)."""
-    return (
-        (F.length(haystack) - F.length(F.regexp_replace(haystack, needle, "")))
-        / len(needle)
-    ).cast("int")
+    """Occurrences of ``needle`` — regexp_count scans without building
+    a replacement string (the DuckDB oracle uses the value-identical
+    length-arithmetic form: both consume matches left to right)."""
+    return F.regexp_count(haystack, F.lit(needle)).cast("int")
 
 
 # BPE-style pre-tokenizer pattern (GPT-2-ish word/number/punct split,
@@ -78,9 +77,7 @@ def token_count(
     out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_words(F.col(text_col))).alias("n_tokens"),
-        F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        F.regexp_count(norm, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
         F.ceil(F.length(norm) / 4).cast("int").alias("n_subwords_est"),
         F.length(norm).alias("n_chars"),
     )
@@ -106,9 +103,7 @@ def token_fingerprints(
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_words(F.col(text_col))).alias("n_tokens"),
-        F.size(F.regexp_extract_all(norm, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        F.regexp_count(norm, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
         F.ceil(F.length(norm) / 4).cast("int").alias("n_subwords_est"),
         F.length(norm).alias("n_chars"),
         h.alias("fingerprint"),
@@ -129,8 +124,8 @@ def _quality_base_cols(text_col: str) -> list[Column]:
     n_stop = sum(
         _count_occurrences(padded, f" {w} ") for w in STOPWORDS
     )
-    n_punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[\.,;:!\?]", ""))
-    n_digit = F.length(norm) - F.length(F.regexp_replace(norm, r"[0-9]", ""))
+    n_punct = F.regexp_count(norm, F.lit(r"[\.,;:!\?]"))
+    n_digit = F.regexp_count(norm, F.lit(r"[0-9]"))
     return [
         F.size(_words(F.col(text_col))).alias("n_words"),
         F.length(norm).alias("_n_chars"),
@@ -155,10 +150,11 @@ def _quality_final_cols() -> list[Column]:
 
 
 def _script_count(col: Column, ranges: tuple[tuple[int, int], ...]) -> Column:
-    """Chars of ``col`` inside the Unicode ``ranges``, via the same
-    length arithmetic as :func:`_count_occurrences` (portable SQL)."""
+    """Chars of ``col`` inside the Unicode ``ranges`` (regexp_count —
+    one scan, no rebuild; single-char matches, so the count equals the
+    oracle's length-arithmetic form exactly)."""
     cls = f"[{_hex_class(ranges)}]"
-    return (F.length(col) - F.length(F.regexp_replace(col, cls, ""))).cast("int")
+    return F.regexp_count(col, F.lit(cls)).cast("int")
 
 
 def _lang_score_cols(text_col: str) -> list[Column]:
