@@ -126,6 +126,13 @@ def main() -> None:
     ap.add_argument("--epoch-seed", default="",
                     help="if set, write the corpus in deterministic "
                          "shuffled order keyed by this seed")
+    ap.add_argument("--pin-dir", default="",
+                    help="stage-pin directory: when set, inter-stage "
+                         "pins are DURABLE parquet tables under this "
+                         "dir (a lost executor replays from storage — "
+                         "the right mode for long cluster runs) instead "
+                         "of executor-local checkpoint blocks (fastest; "
+                         "single-node/bench default)")
     ap.add_argument("--quality-reference", default="",
                     help="parquet of (doc_id, text) GOOD-corpus docs; "
                          "with --min-p-good trains a fastText-style "
@@ -162,14 +169,26 @@ def main() -> None:
     spark = get_spark(app="prepare-corpus")
     report: dict[str, int] = {}
 
+    _pin_n = [0]
+
     def pin(df):
-        """Eager localCheckpoint between stages: materializes once (the
-        stage count that follows reads the pinned copy) AND truncates
-        the logical plan.  Every optional gate re-branches docs onto
-        itself (docs ⋈ f(docs)), so with cache() the final write's
-        plan STRING doubles per stage — an 11-stage run OOMed the
-        driver merely rendering it.  On a real cluster swap for
-        reliable checkpoint(dir) — same contract."""
+        """Materialize-and-truncate between stages: every optional gate
+        re-branches docs onto itself (docs ⋈ f(docs)), so with cache()
+        the final write's plan STRING doubles per stage — an 11-stage
+        run OOMed the driver merely rendering it.  Two modes:
+
+        - default: eager localCheckpoint — executor-local blocks,
+          fastest, but a lost executor kills the chain (fine for
+          single-node and bench runs);
+        - ``--pin-dir``: durable parquet stage tables — each pin is a
+          write + re-read, so a lost executor replays from storage and
+          the run survives node loss (the mode for real cluster runs;
+          the stage files double as debuggable intermediates)."""
+        if args.pin_dir:
+            _pin_n[0] += 1
+            p = os.path.join(args.pin_dir, f"stage_{_pin_n[0]:02d}")
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
         return df.localCheckpoint(eager=True)
 
     if args.synthesize:

@@ -246,3 +246,50 @@ def test_prepare_corpus_ops_end_to_end_on_cjk(spark):
     assert counts[2] == len(EN.split())
     top = tfidf_top_terms(docs).filter(F.col("doc_id") == 0).collect()
     assert top and all(len(r["term"]) == 1 for r in top)
+
+
+def test_tokenizer_fuzz_parity_mixed_scripts(spark):
+    """500 seeded random strings mixing Latin/CJK/kana/hangul/Thai/
+    Cyrillic/Arabic chars, whitespace runs, punctuation, and percent
+    signs: Spark, DuckDB, and Python tokenizers must agree on every
+    one (one Spark job + one DuckDB query — not 500 round trips)."""
+    import random
+
+    rng = random.Random(7)
+    pools = [
+        "abcdefgh XYZ 0123 .,;!? %7E~-_",
+        "中文文档内容设计实现",
+        "ひらがなカタカナー",
+        "한국어문서",
+        "ภาษาไทยกิินม์",
+        "русский текст",
+        "نص عربي",
+        " \t\n  ",
+    ]
+    samples = []
+    for _ in range(500):
+        n = rng.randint(0, 40)
+        samples.append(
+            "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        )
+    df = spark.createDataFrame(
+        list(enumerate(samples)), "i long, text string"
+    )
+    got = {
+        r["i"]: r["tok"]
+        for r in df.select(
+            "i", tn.tokenized_text(F.col("text")).alias("tok")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(samples)))
+    exp = dict(
+        con.execute(f"SELECT i, {tn.sql_tokenized('text')} FROM t").fetchall()
+    )
+    bad = [
+        (i, samples[i], got[i], exp[i])
+        for i in range(500)
+        if got[i] != exp[i] or tn.py_words(samples[i]) != [w for w in got[i].split(" ") if w]
+    ]
+    assert not bad, bad[:3]
