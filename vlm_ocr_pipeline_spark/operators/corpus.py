@@ -152,7 +152,12 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    w = _words(F.col(text_col))
+    # materialize the words array once — the chunk transform slices it
+    # per window, and inline words() would re-tokenize per reference
+    base = spread_narrow(docs).select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    )
+    w = F.col("_w")
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.size(w) - overlap) / F.lit(float(stride))).cast("int"),
@@ -170,8 +175,7 @@ def chunk_documents(
         ),
     )
     return (
-        spread_narrow(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        base.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
     )
 

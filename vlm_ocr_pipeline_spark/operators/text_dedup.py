@@ -28,8 +28,24 @@ from ..partitioning import spread_narrow as _spread  # noqa: E402
 from ..textnorm import (  # noqa: E402 — canonical tokenizer, shared with oracles
     normalize_text,
     shingle_array as _shingle_array,
+    shingles_of as _shingles_of,
     words as _words,
 )
+
+
+def _exploded_shingles(docs, id_col, text_col, n, pos=False):
+    """(doc_id, shingle) [or (doc_id, pos, shingle)] with the words
+    array MATERIALIZED in its own projection first: the shingle
+    expression references the array three times, and inlining words()
+    would run the script-aware tokenizer three times per row (measured
+    ~30% of the MinHash front-end at sf0.1)."""
+    w = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    )
+    sh = _shingles_of(F.col("_w"), n)
+    if pos:
+        return w.select("doc_id", F.posexplode(sh).alias("pos", "shingle"))
+    return w.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,14 +64,7 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, all JVM-side:
     sequence + transform + slice (no Python in the hot path)."""
-    return (
-        _spread(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
-    )
+    return _exploded_shingles(docs, id_col, text_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -96,10 +105,9 @@ def ngram_jaccard_pairs(
     # exchange — (long, long) rows instead of ~90-byte strings, the
     # same bandwidth fix measured at 0.541 -> 0.820 scaling efficiency
     # on duplicate_ngram_spans below
-    exploded = _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    exploded = _exploded_shingles(docs, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
     lists = exploded.groupBy("h").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
     )
@@ -167,10 +175,7 @@ def minhash_signatures(
       (integer min-agg, no hex strings); the cluster-scale path when
       oracle portability is not needed.
     """
-    sh = _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, id_col, text_col, n)
     if hash_family == "md5":
         aggs = [
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"mh{k}")
@@ -560,10 +565,9 @@ def duplicate_ngram_spans(
     # 0.82 (the string exchange was the bandwidth ceiling; a 2^-64
     # collision could mark one spurious span — acceptable for a dedup
     # heuristic).
-    sh = _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(_shingle_array(F.col(text_col), n)).alias("pos", "shingle"),
-    ).select("doc_id", "pos", F.xxhash64("shingle").alias("h"))
+    sh = _exploded_shingles(docs, id_col, text_col, n, pos=True).select(
+        "doc_id", "pos", F.xxhash64("shingle").alias("h")
+    )
     hot = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("_df"))
@@ -763,10 +767,9 @@ def decontaminate(
     distinct shared gram hashes per doc.
     """
     def grams(df):
-        return _spread(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_shingle_array(F.col(text_col), n)).alias("s"),
-        ).select("doc_id", F.xxhash64("s").alias("g"))
+        return _exploded_shingles(df, id_col, text_col, n).select(
+            "doc_id", F.xxhash64("shingle").alias("g")
+        )
 
     test_grams = grams(test).select("g").distinct()
     return (

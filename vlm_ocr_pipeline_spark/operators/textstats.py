@@ -277,11 +277,13 @@ def repetition_quality(
             "distinct_word_ratio"
         ),
     )
-    from ..textnorm import shingle_array
+    from ..textnorm import shingles_of
 
-    bi = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingle_array(F.col(text_col), 2)).alias("bg"),
+    # bigrams from the SAME materialized words column (shingles_of
+    # references the array three times; inline words() would tokenize
+    # three times per row)
+    bi = base.select(
+        "doc_id", F.explode(shingles_of(F.col("_w"), 2)).alias("bg")
     )
     top = (
         bi.groupBy("doc_id", "bg")

@@ -137,16 +137,30 @@ def py_words(text: str) -> list[str]:
     return _PY_TOKEN_ATOM.sub(r" \1 ", text or "").split()
 
 
-def shingle_array(text: Column, n: int) -> Column:
-    """Word n-gram shingle array, guarded for short documents: Spark's
-    sequence(1, 0) is the DESCENDING [1, 0] (implicit step -1) whose 0
-    index crashes slice() — where DuckDB's generate_series(1, 0) is
-    empty.  Docs with < n words yield no shingles on either engine.
-    Over no-space scripts the word tokens are characters, so these are
-    the standard char n-gram shingles."""
-    w = words(text)
+def shingles_of(w: Column, n: int) -> Column:
+    """Word n-gram shingle array over an ALREADY-MATERIALIZED words
+    column.  Operators should project :func:`words` into its own
+    column in a separate select and build shingles from that column —
+    this expression references ``w`` three times (two size guards + the
+    slice), and inlined words() would tokenize the text three times per
+    row (CollapseProject re-inlines only cheap single-use aliases, so
+    the two-select shape is safe; measured ~30% on the MinHash
+    front-end at sf0.1).
+
+    Short-document guard: Spark's sequence(1, 0) is the DESCENDING
+    [1, 0] (implicit step -1) whose 0 index crashes slice() — where
+    DuckDB's generate_series(1, 0) is empty.  Docs with < n words yield
+    no shingles on either engine.  Over no-space scripts the word
+    tokens are characters, so these are the standard char n-grams."""
     sh = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
     return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_array(text: Column, n: int) -> Column:
+    """:func:`shingles_of` over inline :func:`words` — convenient for
+    single-expression contexts; hot operators prefer the two-select
+    materialized shape (see shingles_of)."""
+    return shingles_of(words(text), n)
