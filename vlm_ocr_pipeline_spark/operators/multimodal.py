@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (image/audio codecs are not in this
-container) behind ``decode_fn`` injection — the default raises
-NotImplementedError per modality, and :func:`deterministic_fake_decoder`
-provides a seeded stand-in so the Spark-side plumbing (schema,
-partitioning, mapInPandas batch shape, feature vector layout) is real
-and tested end-to-end.
+Decode is REAL for PNG (pure-stdlib zlib codec, see
+functions/png_codec.py: :func:`stdlib_pixel_decoder` /
+:func:`stdlib_png_resizer`) and for image header dimensions
+(PNG/JPEG/GIF, :func:`header_decoder`).  JPEG/GIF pixel decode and
+audio/video remain behind ``decode_fn`` injection (codecs absent in
+this container) — the default raises NotImplementedError per modality,
+and :func:`deterministic_fake_decoder` provides a seeded stand-in so
+the Spark-side plumbing (schema, partitioning, mapInPandas batch
+shape, feature vector layout) is tested end-to-end either way.
 
 Design for 100 TB: binary payloads never leave the scan until the
 decode stage; metadata-only queries (count, size histograms, format
@@ -138,12 +141,51 @@ def header_decoder(kind: str, payload: bytes) -> dict:
     return {"width": dims[0], "height": dims[1], "n_frames": 1, "features": None}
 
 
+def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
+    """REAL pixel decode for PNG payloads — no codec library needed
+    (PNG is zlib + byte predictors; see functions/png_codec.py): true
+    width/height from the decoded array and a 16-dim feature vector
+    from real pixel statistics (per-channel mean/std + luminance
+    histogram).  JPEG/GIF fall back to real header dims with no pixel
+    features; everything else raises NotImplementedError and surfaces
+    as a 'stubbed:no_codec' status row."""
+    from ..functions.png_codec import decode_png, pixel_features
+
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        arr = decode_png(p)  # ValueError -> failed:*, Adam7 -> stubbed
+        return {
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+            "n_frames": 1,
+            "features": pixel_features(arr),
+        }
+    return header_decoder(kind, payload)
+
+
+def stdlib_png_resizer(kind: str, payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG payloads: decode (pure stdlib), box-average
+    (nearest when dims don't divide), re-encode PNG.  Non-PNG raises
+    NotImplementedError -> status row."""
+    from ..functions.png_codec import decode_png, encode_png, resize_box
+
+    p = bytes(payload)
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            f"stdlib resizer handles PNG only (got kind={kind!r}); "
+            "inject resize_fn for other formats"
+        )
+    return encode_png(resize_box(decode_png(p), width, height))
+
+
 def real_decoder(kind: str, payload: bytes) -> dict:
-    """Placeholder for the codec-backed decoder.
+    """Placeholder for the codec-backed decoder for formats the
+    stdlib path can't decode (JPEG/GIF pixels, audio, video).
 
     NOT IMPLEMENTED in this container: PIL/ffmpeg/librosa are absent.
     On a real cluster, plug a decode_fn with the same signature into
-    :func:`extract_media_features`.
+    :func:`extract_media_features`.  PNG needs no injection — use
+    :func:`stdlib_pixel_decoder`.
     """
     raise NotImplementedError(
         f"no codec available for kind={kind!r}; inject decode_fn "
