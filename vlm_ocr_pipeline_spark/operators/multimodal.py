@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Decode is REAL for PNG (pure-stdlib zlib codec, see
-functions/png_codec.py: :func:`stdlib_pixel_decoder` /
-:func:`stdlib_png_resizer`) and for image header dimensions
-(PNG/JPEG/GIF, :func:`header_decoder`).  JPEG/GIF pixel decode and
-audio/video remain behind ``decode_fn`` injection (codecs absent in
-this container) — the default raises NotImplementedError per modality,
-and :func:`deterministic_fake_decoder` provides a seeded stand-in so
-the Spark-side plumbing (schema, partitioning, mapInPandas batch
-shape, feature vector layout) is tested end-to-end either way.
+Decode is REAL for three containers that need no codec library
+(:func:`stdlib_pixel_decoder`): PNG (zlib + predictors,
+functions/png_codec.py), GIF incl. animations (LZW + compositing,
+functions/gif_codec.py — which also makes :func:`sample_frames` real
+via :func:`stdlib_frame_extractor`), and WAV audio (RIFF/PCM,
+functions/wav_codec.py).  JPEG gets real header dimensions
+(:func:`header_decoder`); JPEG pixels and compressed audio/video
+remain behind ``decode_fn`` injection (codecs absent in this
+container) — the default raises NotImplementedError per modality, and
+:func:`deterministic_fake_decoder` provides a seeded stand-in so the
+Spark-side plumbing (schema, partitioning, mapInPandas batch shape,
+feature vector layout) is tested end-to-end either way.
 
 Design for 100 TB: binary payloads never leave the scan until the
 decode stage; metadata-only queries (count, size histograms, format
@@ -142,17 +145,26 @@ def header_decoder(kind: str, payload: bytes) -> dict:
 
 
 def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
-    """REAL pixel decode for PNG payloads — no codec library needed
-    (PNG is zlib + byte predictors; see functions/png_codec.py): true
-    width/height from the decoded array and a 16-dim feature vector
-    from real pixel statistics (per-channel mean/std + luminance
-    histogram).  JPEG/GIF fall back to real header dims with no pixel
-    features; everything else raises NotImplementedError and surfaces
-    as a 'stubbed:no_codec' status row."""
-    from ..functions.png_codec import decode_png, pixel_features
+    """REAL decode for the codec-free containers — no library needed:
 
+    - PNG (zlib + byte predictors, functions/png_codec.py): true dims
+      + 16-dim pixel-stat features (per-channel mean/std + luminance
+      histogram).
+    - GIF (LZW + compositing, functions/gif_codec.py): logical-screen
+      dims, exact ``n_frames`` (block walk — only the first frame pays
+      LZW decode), features from the first composited frame's RGB.
+    - WAV (RIFF/PCM, functions/wav_codec.py), mapped onto the image
+      schema as width=sample_rate, height=n_channels,
+      n_frames=n_samples, features=16 audio stats (rms/zcr/spectral
+      bands — see wav_codec.audio_features).
+
+    JPEG falls back to real header dims with no pixel features;
+    everything else raises NotImplementedError and surfaces as a
+    'stubbed:no_codec' status row."""
     p = bytes(payload)
     if p[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png_codec import decode_png, pixel_features
+
         arr = decode_png(p)  # ValueError -> failed:*, Adam7 -> stubbed
         return {
             "width": int(arr.shape[1]),
@@ -160,32 +172,78 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
             "n_frames": 1,
             "features": pixel_features(arr),
         }
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif_codec import decode_gif
+        from ..functions.png_codec import pixel_features
+
+        d = decode_gif(p, max_decode_frames=1)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": min(d["n_frames"], 2**31 - 1),
+            "features": pixel_features(d["frames"][0][:, :, :3]),
+        }
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        from ..functions.wav_codec import audio_features, decode_wav
+
+        d = decode_wav(p)
+        return {
+            "width": d["sample_rate"],
+            "height": d["n_channels"],
+            "n_frames": min(d["n_samples"], 2**31 - 1),
+            "features": audio_features(d),
+        }
     return header_decoder(kind, payload)
 
 
 def stdlib_png_resizer(kind: str, payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for PNG payloads: decode (pure stdlib), box-average
-    (nearest when dims don't divide), re-encode PNG.  Non-PNG raises
-    NotImplementedError -> status row."""
+    """REAL resize for PNG and (first-frame) GIF payloads: decode (pure
+    stdlib), box-average (nearest when dims don't divide), re-encode as
+    PNG — the thumbnail normal form, so downstream stages see one
+    format.  Other formats raise NotImplementedError -> status row."""
     from ..functions.png_codec import decode_png, encode_png, resize_box
 
     p = bytes(payload)
-    if p[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
-            f"stdlib resizer handles PNG only (got kind={kind!r}); "
-            "inject resize_fn for other formats"
-        )
-    return encode_png(resize_box(decode_png(p), width, height))
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return encode_png(resize_box(decode_png(p), width, height))
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif_codec import decode_gif
+
+        frame = decode_gif(p, max_decode_frames=1)["frames"][0]
+        return encode_png(resize_box(frame, width, height))
+    raise NotImplementedError(
+        f"stdlib resizer handles PNG/GIF only (got kind={kind!r}); "
+        "inject resize_fn for other formats"
+    )
+
+
+def stdlib_frame_extractor(kind: str, payload: bytes) -> list[bytes]:
+    """REAL frame extraction for animated GIFs: every composited frame
+    re-encoded as a standalone PNG (lossless — GIF pixels are palette
+    exact), so :func:`sample_frames` yields self-contained per-frame
+    payloads on actual bytes.  A PNG payload is its own single frame;
+    other formats raise NotImplementedError -> status row."""
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return [p]
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif_codec import decode_gif
+        from ..functions.png_codec import encode_png
+
+        return [encode_png(f) for f in decode_gif(p)["frames"]]
+    raise NotImplementedError(
+        f"stdlib frame extractor handles GIF/PNG only (got kind={kind!r})"
+    )
 
 
 def real_decoder(kind: str, payload: bytes) -> dict:
     """Placeholder for the codec-backed decoder for formats the
-    stdlib path can't decode (JPEG/GIF pixels, audio, video).
+    stdlib path can't decode (JPEG pixels, compressed audio, video).
 
     NOT IMPLEMENTED in this container: PIL/ffmpeg/librosa are absent.
     On a real cluster, plug a decode_fn with the same signature into
-    :func:`extract_media_features`.  PNG needs no injection — use
-    :func:`stdlib_pixel_decoder`.
+    :func:`extract_media_features`.  PNG, GIF, and WAV need no
+    injection — use :func:`stdlib_pixel_decoder`.
     """
     raise NotImplementedError(
         f"no codec available for kind={kind!r}; inject decode_fn "
