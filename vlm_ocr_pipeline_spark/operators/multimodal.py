@@ -153,13 +153,15 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
     - GIF (LZW + compositing, functions/gif_codec.py): logical-screen
       dims, exact ``n_frames`` (block walk — only the first frame pays
       LZW decode), features from the first composited frame's RGB.
+    - baseline JPEG (huffman + two-matmul IDCT,
+      functions/jpeg_codec.py): true dims + pixel-stat features;
+      progressive JPEG degrades to real header dims, features null.
     - WAV (RIFF/PCM, functions/wav_codec.py), mapped onto the image
       schema as width=sample_rate, height=n_channels,
       n_frames=n_samples, features=16 audio stats (rms/zcr/spectral
       bands — see wav_codec.audio_features).
 
-    JPEG falls back to real header dims with no pixel features;
-    everything else raises NotImplementedError and surfaces as a
+    Everything else raises NotImplementedError and surfaces as a
     'stubbed:no_codec' status row."""
     p = bytes(payload)
     if p[:8] == b"\x89PNG\r\n\x1a\n":
@@ -183,6 +185,21 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
             "n_frames": min(d["n_frames"], 2**31 - 1),
             "features": pixel_features(d["frames"][0][:, :, :3]),
         }
+    if p[:2] == b"\xff\xd8":
+        from ..functions.jpeg_codec import decode_jpeg
+        from ..functions.png_codec import pixel_features
+
+        try:
+            arr = decode_jpeg(p)
+        except NotImplementedError:
+            # progressive/arithmetic variants: header dims still real
+            return header_decoder(kind, payload)
+        return {
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+            "n_frames": 1,
+            "features": pixel_features(arr),
+        }
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         from ..functions.wav_codec import audio_features, decode_wav
 
@@ -197,22 +214,27 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
 
 
 def stdlib_png_resizer(kind: str, payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for PNG and (first-frame) GIF payloads: decode (pure
-    stdlib), box-average (nearest when dims don't divide), re-encode as
-    PNG — the thumbnail normal form, so downstream stages see one
-    format.  Other formats raise NotImplementedError -> status row."""
+    """REAL resize for PNG, baseline-JPEG, and (first-frame) GIF
+    payloads: decode (pure stdlib), box-average (nearest when dims
+    don't divide), re-encode as PNG — the thumbnail normal form, so
+    downstream stages see one format.  Other formats raise
+    NotImplementedError -> status row."""
     from ..functions.png_codec import decode_png, encode_png, resize_box
 
     p = bytes(payload)
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return encode_png(resize_box(decode_png(p), width, height))
+    if p[:2] == b"\xff\xd8":
+        from ..functions.jpeg_codec import decode_jpeg
+
+        return encode_png(resize_box(decode_jpeg(p), width, height))
     if p[:6] in (b"GIF87a", b"GIF89a"):
         from ..functions.gif_codec import decode_gif
 
         frame = decode_gif(p, max_decode_frames=1)["frames"][0]
         return encode_png(resize_box(frame, width, height))
     raise NotImplementedError(
-        f"stdlib resizer handles PNG/GIF only (got kind={kind!r}); "
+        f"stdlib resizer handles PNG/JPEG/GIF only (got kind={kind!r}); "
         "inject resize_fn for other formats"
     )
 
