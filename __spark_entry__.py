@@ -71,6 +71,9 @@ _ORACLE_COLLAPSE = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 # the TOKEN-STREAM twin (script-aware: CJK/Thai chars space out as
 # their own tokens) — mirrors textnorm.tokenized_text / words; built
 # in textnorm so the pattern string has ONE source of truth
+from vlm_ocr_pipeline_spark.functions.charset import (
+    sql_mojibake_count as _sql_mojibake_count,
+)
 from vlm_ocr_pipeline_spark.textnorm import sql_tokenized as _sql_tokenized
 
 _ORACLE_TOK = _sql_tokenized("text")
@@ -431,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stopword_ratio",
             "punct_ratio",
             "digit_ratio",
+            "mojibake_count",
             "predicted_lang",
             *cast,
         )
@@ -970,10 +974,12 @@ def oracle_sql() -> dict[str, str]:
     )
     score_sel = ", ".join(f"CAST(s_{lang} AS BIGINT) AS score_{lang}" for lang in langs)
     inner = ", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
+    _mb = _sql_mojibake_count("text")
     o["quality_lang"] = f"""
-        WITH n AS (SELECT doc_id, {collapse} AS t, {tok} AS tk FROM documents),
-        p AS (SELECT doc_id, t, tk, ' ' || t || ' ' AS p FROM n),
-        s AS (SELECT doc_id, t, tk, p, {inner} FROM p)
+        WITH n AS (SELECT doc_id, {collapse} AS t, {tok} AS tk,
+                          {_mb} AS mb FROM documents),
+        p AS (SELECT doc_id, t, tk, mb, ' ' || t || ' ' AS p FROM n),
+        s AS (SELECT doc_id, t, tk, mb, p, {inner} FROM p)
         SELECT doc_id,
                CAST(len(string_split(tk, ' ')) AS BIGINT) AS n_words,
                length(t) / CAST(len(string_split(tk, ' ')) AS DOUBLE) AS mean_word_len,
@@ -983,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(length(t) AS DOUBLE) AS punct_ratio,
                (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
                    / CAST(length(t) AS DOUBLE) AS digit_ratio,
+               CAST(mb AS BIGINT) AS mojibake_count,
                {best} AS predicted_lang, {score_sel}
         FROM s
     """

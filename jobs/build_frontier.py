@@ -40,7 +40,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    """Run the job; tests pass an arg list + their session fixture to
+    run in-process (no per-run JVM boot).  Returns the report."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--robots", required=True,
                     help="parquet of (host, body) robots.txt fetches")
@@ -57,7 +59,7 @@ def main() -> None:
                     help="crawler product token for robots group "
                          "selection (default '*' groups)")
     ap.add_argument("--output", required=True)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
@@ -66,7 +68,9 @@ def main() -> None:
     from vlm_ocr_pipeline_spark.plans.session import get_spark
     from vlm_ocr_pipeline_spark.sources.sitemap import discover_sitemaps
 
-    spark = get_spark(app="build-frontier")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app="build-frontier")
     report: dict = {}
 
     robots = spark.read.parquet(args.robots)
@@ -118,7 +122,9 @@ def main() -> None:
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return report
 
 
 if __name__ == "__main__":

@@ -61,7 +61,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    """Run the job.  ``argv`` defaults to sys.argv (the spark-submit
+    path); tests pass an arg list plus their session fixture as
+    ``spark`` to run IN-PROCESS — same code path, no per-run JVM boot
+    (the e2e suite spawned six cold JVMs before this hook existed).
+    A caller-provided session is never stopped.  Returns the report."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--input-format", choices=["parquet", "warc"],
@@ -140,6 +145,10 @@ def main() -> None:
                          "this corpus = negatives, CCNet-style) and "
                          "keeps docs scoring >= the threshold")
     ap.add_argument("--min-p-good", type=float, default=0.0)
+    ap.add_argument("--fix-mojibake", action="store_true",
+                    help="repair UTF-8-read-as-1252 mangled text "
+                         "(charset.fix_mojibake; idempotent, no-op on "
+                         "clean documents)")
     ap.add_argument("--max-bits-per-byte", type=float, default=0.0,
                     help="if > 0, drop docs scoring above this char-LM "
                          "perplexity (bits/byte; model trained on a "
@@ -147,7 +156,7 @@ def main() -> None:
     ap.add_argument("--decontaminate-against", default="",
                     help="parquet of (doc_id, text) eval docs; train "
                          "docs sharing any 13-gram are dropped")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
@@ -166,7 +175,9 @@ def main() -> None:
     from vlm_ocr_pipeline_spark.plans.pipeline import extract
     from vlm_ocr_pipeline_spark.plans.session import get_spark
 
-    spark = get_spark(app="prepare-corpus")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app="prepare-corpus")
     report: dict[str, int] = {}
 
     _pin_n = [0]
@@ -253,6 +264,14 @@ def main() -> None:
         F.xxhash64("url", "warc_ts").alias("doc_id"),
         F.col("rendered").alias("text"),
     )
+
+    # 1b. optional mojibake repair BEFORE any quality/dedup signal:
+    # mangled and clean editions of one page must hash identically,
+    # and quality ratios on repaired text are the real ones
+    if args.fix_mojibake:
+        from vlm_ocr_pipeline_spark.operators.textstats import repair_mojibake
+
+        docs = repair_mojibake(docs)
 
     # 2. quality + language + repetition gates (quality_lang = one
     # projection for both signal families; repetition_quality drops
@@ -489,7 +508,9 @@ def main() -> None:
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return report
 
 
 if __name__ == "__main__":

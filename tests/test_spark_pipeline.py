@@ -186,33 +186,21 @@ def test_figure_crop_alt_alignment_skips_suppressed_imgs(spark):
     assert html[s:e] == crop
 
 
-def test_prepare_corpus_incremental_dedup_store(tmp_path):
+def test_prepare_corpus_incremental_dedup_store(spark, tmp_path, corpus_job):
     """--dedup-store: run 1 seeds the bucket state; run 2 on the SAME
     input dedups against it and keeps (almost) nothing — the
-    continuous-crawl mode."""
-    import json
-    import os
-    import subprocess
-    import sys
+    continuous-crawl mode.  Runs IN-PROCESS on the session fixture
+    (main(argv, spark=...)) — the subprocess form booted a JVM per run."""
+    import pytest
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     store = str(tmp_path / "store")
 
     def run(n):
-        out = subprocess.run(
-            [
-                sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
-                "--input", str(tmp_path / f"in{n}"),
-                "--output", str(tmp_path / f"out{n}"),
-                "--synthesize", "120", "--tokens-per-shard", "5000",
-                "--dedup-store", store,
-            ],
-            capture_output=True, text=True, timeout=420,
-            env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
-        )
-        assert out.returncode == 0, out.stderr[-2000:]
-        return json.loads(
-            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return corpus_job(
+            "--input", str(tmp_path / f"in{n}"),
+            "--output", str(tmp_path / f"out{n}"),
+            "--synthesize", "120", "--tokens-per-shard", "5000",
+            "--dedup-store", store,
         )
 
     r1 = run(1)
@@ -228,31 +216,24 @@ def test_prepare_corpus_incremental_dedup_store(tmp_path):
     # a store is bound to its LSH params: mismatched bands must
     # hard-fail (different-param buckets never collide — the dedup
     # would silently be a no-op)
-    out = subprocess.run(
-        [
-            sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
+    with pytest.raises(Exception, match="seeded with"):
+        corpus_job(
             "--input", str(tmp_path / "in1"),
             "--output", str(tmp_path / "out3"),
             "--tokens-per-shard", "5000",
             "--dedup-store", store, "--lsh-bands", "2",
-        ],
-        capture_output=True, text=True, timeout=420,
-        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
-    )
-    assert out.returncode != 0
-    assert "seeded with" in (out.stderr + out.stdout)
+        )
 
 
-def test_prepare_corpus_job_end_to_end(tmp_path):
+def test_prepare_corpus_job_end_to_end(spark, tmp_path, corpus_job):
     """jobs/prepare_corpus.py: the composed extract -> quality -> dedup
-    -> split -> shard chain runs as a standalone driver and its report
-    invariants hold."""
+    -> split -> shard chain and its report invariants (in-process on
+    the session fixture; the CLI surface itself is covered by the
+    spark-submit demo in scripts/submit_local.sh and the subprocess
+    run in test_frontier.py)."""
     import json
     import os
-    import subprocess
-    import sys
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import pandas as pd
 
     eval_path = str(tmp_path / "eval.parquet")
@@ -280,31 +261,22 @@ def test_prepare_corpus_job_end_to_end(tmp_path):
             "body": ["User-agent: *\nDisallow: /private/*\n"],
         }
     ).to_parquet(robots_path)
-    out = subprocess.run(
-        [
-            sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
-            "--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
-            "--synthesize", "300", "--tokens-per-shard", "5000",
-            "--test-fraction", "0.1",
-            # exercise the optional stages: a non-matching blocklist
-            # resolved through the bundled PSL, robots compliance,
-            # substring-level span scrub, deterministic epoch order,
-            # a generous perplexity ceiling, disjoint-eval
-            # decontamination, and BPE-budgeted shards
-            "--blocklist", "blocked.example.net", "--psl", "builtin",
-            "--robots", robots_path,
-            "--scrub-span-ngram", "8", "--epoch-seed", "e1",
-            "--quality-reference", ref_path, "--min-p-good", "1e-9",
-            "--max-bits-per-byte", "7.9",
-            "--decontaminate-against", eval_path,
-            "--bpe-merges", "30",
-        ],
-        capture_output=True, text=True, timeout=420,
-        env=dict(os.environ, SPARK_GRAFT_CPUS="8"),
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    report = json.loads(
-        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    report = corpus_job(
+        "--input", str(tmp_path / "in"), "--output", str(tmp_path / "out"),
+        "--synthesize", "300", "--tokens-per-shard", "5000",
+        "--test-fraction", "0.1",
+        # exercise the optional stages: a non-matching blocklist
+        # resolved through the bundled PSL, robots compliance,
+        # substring-level span scrub, deterministic epoch order,
+        # a generous perplexity ceiling, disjoint-eval
+        # decontamination, and BPE-budgeted shards
+        "--blocklist", "blocked.example.net", "--psl", "builtin",
+        "--robots", robots_path,
+        "--scrub-span-ngram", "8", "--epoch-seed", "e1",
+        "--quality-reference", ref_path, "--min-p-good", "1e-9",
+        "--max-bits-per-byte", "7.9",
+        "--decontaminate-against", eval_path,
+        "--bpe-merges", "30",
     )
     assert report["pages_in"] == 300
     assert report["blocklist_domains"] == 1

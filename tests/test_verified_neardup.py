@@ -215,40 +215,34 @@ def test_verified_store_scan_still_streams_into_broadcast_join(spark, tmp_path):
     assert "Exchange" not in between, plan
 
 
-def test_prepare_corpus_verified_incremental_chain(tmp_path):
+def test_prepare_corpus_verified_incremental_chain(tmp_path, corpus_job):
     """--neardup-min-bands/--neardup-min-jaccard end-to-end: seeds a
     signature store, and a mismatched (unverified) rerun hard-fails on
-    the sidecar."""
+    the sidecar.  In-process on the session fixture."""
     import json
     import os
-    import subprocess
-    import sys
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import pytest
+
     store = str(tmp_path / "store")
     args = [
-        sys.executable, os.path.join(repo, "jobs", "prepare_corpus.py"),
         "--input", str(tmp_path / "pages"), "--synthesize", "60",
         "--output", str(tmp_path / "out1"), "--min-words", "5",
         "--dedup-store", store,
         "--neardup-min-bands", "2", "--neardup-min-jaccard", "0.5",
     ]
-    r = subprocess.run(args, capture_output=True, text=True, cwd=repo)
-    assert r.returncode == 0, r.stderr[-3000:]
+    corpus_job(*args)
     meta = json.load(open(os.path.join(store, "_dedup_meta.json")))
     assert meta["signatures"] is True
     # second run, same gates: incremental against the signature store
     args2 = [a for a in args]
     args2[args2.index(str(tmp_path / "out1"))] = str(tmp_path / "out2")
-    r2 = subprocess.run(args2, capture_output=True, text=True, cwd=repo)
-    assert r2.returncode == 0, r2.stderr[-3000:]
-    rep2 = json.load(open(os.path.join(tmp_path, "out2", "report.json")))
+    rep2 = corpus_job(*args2)
     assert rep2["dedup_store_mode"] == "incremental"
     assert rep2["after_neardup_dedup"] == 0  # same synth input -> all dup
     # unverified rerun against a signature store must hard-fail
     args3 = [a for a in args if a not in (
         "--neardup-min-bands", "2", "--neardup-min-jaccard", "0.5")]
     args3[args3.index(str(tmp_path / "out1"))] = str(tmp_path / "out3")
-    r3 = subprocess.run(args3, capture_output=True, text=True, cwd=repo)
-    assert r3.returncode != 0
-    assert "dedup" in (r3.stderr + r3.stdout).lower()
+    with pytest.raises(Exception, match="(?i)dedup"):
+        corpus_job(*args3)

@@ -23,7 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from ..functions import html_extract
+from ..functions import charset, html_extract
 from .stages import sniff_kind
 
 # byte-level img-tag matcher.  Image blocks are emitted by the DOM
@@ -37,12 +37,15 @@ from .stages import sniff_kind
 _IMG_RE = re.compile(rb"<img\b[^>]*>?", re.IGNORECASE)
 
 
-def _crop_alt(crop: bytes) -> str | None:
+def _crop_alt(crop: bytes, codec: str = "utf-8") -> str | None:
     """Alt text of one img-tag crop, normalized exactly like the
-    detector's description field (html_extract._emit_img)."""
+    detector's description field (html_extract._emit_img).  ``codec``
+    is the PAGE's sniffed charset so the alt text decodes exactly like
+    the detector decoded the full page (a fragment carries no meta tag
+    to sniff on its own)."""
     from html import unescape
 
-    s = crop.decode("utf-8", errors="replace")
+    s = crop.decode(codec, errors="replace")
     m = html_extract._ALT_RE.search(s)
     if not m:
         return None
@@ -71,9 +74,8 @@ def figure_crop_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if sniff_kind(payload) != "html":
             continue  # PDF-path blocks are text spans; nothing to crop
         try:
-            page = html_extract.extract_html_page(
-                payload.decode("utf-8", errors="replace")
-            )
+            text, codec, _ = charset.decode_payload(payload)
+            page = html_extract.extract_html_page(text)
         except Exception:
             continue
         blocks = page["blocks"]
@@ -81,7 +83,7 @@ def figure_crop_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             (i, b) for i, b in enumerate(blocks) if b.get("type") == "image"
         ]
         matches = list(_IMG_RE.finditer(payload))
-        alts = [_crop_alt(payload[m.start() : m.end()]) for m in matches]
+        alts = [_crop_alt(payload[m.start() : m.end()], codec) for m in matches]
         used = [False] * len(matches)
         cursor = 0
         for bi, b in img_positions:

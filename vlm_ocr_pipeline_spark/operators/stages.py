@@ -30,7 +30,14 @@ from typing import Any
 
 import pandas as pd
 
-from ..functions import correction, dedup_blocks, html_extract, ordering, pdf_extract
+from ..functions import (
+    charset,
+    correction,
+    dedup_blocks,
+    html_extract,
+    ordering,
+    pdf_extract,
+)
 
 import numpy as np
 
@@ -80,8 +87,11 @@ def detect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 spans = pdf_extract.extract_pdf_spans(payload)
                 blocks = pdf_extract.spans_to_blocks(spans)
             elif kind == "html":
+                # charset ladder, not utf-8/replace: a windows-1251 or
+                # Shift_JIS page decodes byte-exactly instead of
+                # becoming U+FFFD soup (functions/charset.py)
                 page = html_extract.extract_html_page(
-                    payload.decode("utf-8", errors="replace")
+                    charset.decode_payload(payload)[0]
                 )
                 blocks = page["blocks"]
                 title = page["title"]
@@ -190,7 +200,7 @@ SORTERS: dict[str, Callable[[list[dict[str, Any]]], list[dict[str, Any]]]] = {
 # registry, pipeline/layout/detection/registry.py:23-174).  A detector
 # takes the raw payload and returns (blocks, page_title).
 def _detect_html(payload: bytes) -> tuple[list[dict[str, Any]], str | None]:
-    page = html_extract.extract_html_page(payload.decode("utf-8", errors="replace"))
+    page = html_extract.extract_html_page(charset.decode_payload(payload)[0])
     return page["blocks"], page["title"]
 
 

@@ -231,19 +231,50 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def quality_lang(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """quality_scores + lang_id in ONE pass over the text (two chained
-    narrow projections, same scan, no join)."""
+    """quality_scores + lang_id + mojibake fingerprint count in ONE
+    pass over the text (two chained narrow projections, same scan, no
+    join).  ``mojibake_count`` (functions/charset.py) flags documents
+    whose text was charset-mangled UPSTREAM of the crawl — a per-domain
+    sum of it is the dashboard that catches a broken origin server."""
+    from ..functions import charset
+
     scored = docs.select(
         F.col(id_col).alias("doc_id"),
         *_quality_base_cols(text_col),
+        charset.mojibake_count_col(F.col(text_col)).cast("long").alias(
+            "mojibake_count"
+        ),
         *_lang_score_cols(text_col),
     )
     return scored.select(
         "doc_id",
         *_quality_final_cols(),
+        F.col("mojibake_count"),
         _predicted_lang_col(),
         *[F.col(f"score_{lang}") for lang in _lang_codes()],
     )
+
+
+def repair_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide mojibake repair: undo UTF-8-read-as-1252 damage in
+    documents published ALREADY mangled (charset.fix_mojibake — the
+    ftfy core move, accept-gated on strictly reducing the fingerprint
+    count, hence idempotent and a no-op on clean text).
+
+    Scale shape: Arrow-batched pandas_udf, zero shuffle, narrow
+    projection only.  The per-value fast path is one compiled-regex
+    search returning 0 for clean text, so the overwhelmingly-clean
+    common case costs one regex scan per document — the same order as
+    any quality signal."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import charset
+
+    @pandas_udf("string")
+    def fix(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: charset.fix_mojibake(t) if t else t)
+
+    return docs.withColumn(text_col, fix(F.col(text_col)))
 
 
 def repetition_quality(
