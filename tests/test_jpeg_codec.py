@@ -12,6 +12,7 @@ from vlm_ocr_pipeline_spark.functions.jpeg_codec import (
     _DCT_B,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -114,12 +115,18 @@ def test_malformed_inputs_raise():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         decode_jpeg(good[:40])  # dies inside the marker walk
-    # progressive SOF2 -> NotImplementedError (stubbed, not failed)
-    prog = bytearray(good)
-    sof_at = bytes(prog).index(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2
+    # arithmetic-coded SOF -> NotImplementedError (stubbed, not failed)
+    arith = bytearray(good)
+    sof_at = bytes(arith).index(b"\xff\xc0")
+    arith[sof_at + 1] = 0xC9
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
+    # a baseline stream whose SOF is merely RELABELED progressive is
+    # malformed (its single scan claims the full 0-63 band with Ss=0)
+    relabeled = bytearray(good)
+    relabeled[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(relabeled))
 
 
 def test_header_dims_agree_with_pixel_decode():
@@ -171,3 +178,60 @@ def test_spark_jpeg_decode_through_media_features(spark):
     assert rows[3]["width"] == 16
     # real pixel features now, not nulls
     assert all(len(r["features"]) == 16 for r in rows)
+
+
+# ------------------------------------------------------- progressive
+# encode_jpeg_progressive carries the SAME quantized coefficients as
+# the baseline encoder, so the decoded pixels must be IDENTICAL — a
+# differential oracle over the whole progressive path (spectral
+# selection, DC+AC successive approximation, EOB runs, refinement
+# correction bits).
+
+
+@pytest.mark.parametrize(
+    "h,w,gray,subsample",
+    [
+        (37, 53, False, False),
+        (37, 53, False, True),   # 4:2:0 sampling, non-multiple-of-8 dims
+        (24, 24, True, False),
+        (8, 8, False, False),    # single MCU
+        (1, 300, False, False),  # degenerate strip
+    ],
+)
+def test_progressive_decodes_identical_to_baseline(h, w, gray, subsample):
+    img = gradient_image(h, w, channels=1 if gray else 3, seed=h + w)
+    if gray:
+        img = img[:, :, 0]
+    base = encode_jpeg(img, quality=70, subsample=subsample)
+    prog = encode_jpeg_progressive(img, quality=70, subsample=subsample)
+    assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog
+    assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_progressive_eob_runs_on_flat_image():
+    # mostly-flat image -> long EOB runs across blocks (EOBn symbols
+    # with n > 0) plus a couple of textured blocks to interrupt them
+    img = np.full((64, 96, 3), 180, dtype=np.uint8)
+    img[20:28, 40:48] = 30  # one sharp square
+    img[50, :] = 250        # one sharp line
+    base = encode_jpeg(img, quality=85)
+    prog = encode_jpeg_progressive(img, quality=85)
+    assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+
+
+def test_progressive_refinement_on_noise():
+    # high-frequency noise maximizes AC refinement activity (ZRL in
+    # refinement passes, correction-bit buffering)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8).astype(np.uint8)
+    for q in (30, 85, 95):
+        base = encode_jpeg(img, quality=q)
+        prog = encode_jpeg_progressive(img, quality=q)
+        assert np.array_equal(decode_jpeg(base), decode_jpeg(prog)), q
+
+
+def test_progressive_quality_matches_baseline_psnr():
+    img = gradient_image(48, 64, seed=3)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    assert out.shape == (48, 64, 3)
+    assert psnr(img, out) > 30.0

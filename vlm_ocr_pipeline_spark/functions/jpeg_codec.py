@@ -7,14 +7,20 @@ is huffman-coded quantized DCT blocks — all of it expressible with
 struct parsing, a bit reader, and two 8x8 matmuls per block
 (reference analog: the JPEG open the reference delegates to PIL).
 
-- decode: SOF0/SOF1, multiple DQT/DHT tables, any h/v sampling
-  factors (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), restart intervals, 1- and
-  3-component images (grayscale / YCbCr->RGB BT.601).  Progressive
-  (SOF2), arithmetic coding, and 12-bit precision raise
-  NotImplementedError -> 'stubbed' status rows, never job aborts.
-- encode (test-vector factory): 4:4:4 or subsampled chroma, Annex K
-  quantization tables scaled by a quality factor, Annex K huffman
-  tables, restart-interval support.
+- decode: baseline SOF0/SOF1 AND progressive SOF2 (spectral
+  selection, successive approximation on DC and AC, EOB runs,
+  refinement correction bits), multiple DQT/DHT tables, any h/v
+  sampling factors (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), restart
+  intervals, 1- and 3-component images (grayscale / YCbCr->RGB
+  BT.601).  Arithmetic coding, lossless/hierarchical SOFs, and
+  12-bit precision raise NotImplementedError -> 'stubbed' status
+  rows, never job aborts.
+- encode (test-vector factory): baseline with 4:4:4 or subsampled
+  chroma, Annex K quantization tables scaled by a quality factor,
+  Annex K huffman tables, restart-interval support; plus
+  encode_jpeg_progressive, a libjpeg-style 10-scan progression
+  carrying the SAME quantized coefficients (the differential oracle:
+  both encodings must decode to identical pixels).
 
 Scale shape: the entropy scan is inherently sequential per image
 (huffman recurrence), so cost is O(coded symbols) Python-loop work
@@ -243,9 +249,12 @@ def _split_entropy_segments(p: bytes, i: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, C) uint8, C = 1 (grayscale) or
-    3 (RGB).  Raises ValueError on malformed bytes, NotImplementedError
-    on progressive/arithmetic/12-bit variants."""
+    """JPEG bytes -> (H, W, C) uint8, C = 1 (grayscale) or 3 (RGB).
+    Decodes baseline sequential (SOF0/SOF1) AND progressive (SOF2:
+    spectral selection + successive approximation, DC and AC
+    refinement scans, EOB runs, restart markers).  Raises ValueError
+    on malformed bytes, NotImplementedError on arithmetic-coded /
+    lossless / hierarchical / 12-bit variants."""
     p = bytes(payload)
     if p[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -253,6 +262,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     frame = None
+    progressive = False
+    any_scan = False
     restart_interval = 0
     while i + 4 <= n:
         if p[i] != 0xFF:
@@ -261,7 +272,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xFF:
             i += 1
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(p[i + 2 : i + 4], "big")
         if seglen < 2 or i + 2 + seglen > n:
@@ -297,7 +308,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("short DHT table")
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 j += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 — baseline decode
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -308,7 +319,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            _setup_frame(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})"
@@ -320,19 +333,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_sel = {}
+            scan_ids = []
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
                 scan_sel[cs] = (tt >> 4, tt & 0x0F)
-            segments, _end = _split_entropy_segments(p, i)
-            return _decode_scan(
-                frame, scan_sel, qtables, htables, segments, restart_interval
+                scan_ids.append(cs)
+            segments, end = _split_entropy_segments(p, i)
+            if not progressive:
+                return _decode_scan(
+                    frame, scan_sel, qtables, htables, segments,
+                    restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            _decode_prog_scan(
+                frame, scan_ids, scan_sel, ss, se, ahal >> 4, ahal & 0x0F,
+                htables, segments, restart_interval,
             )
+            any_scan = True
+            i = end
         # APPn / COM / others: skipped
+    if progressive and any_scan:
+        return _finish(frame, qtables)
     raise ValueError("JPEG has no SOS scan")
 
 
-def _decode_scan(frame, scan_sel, qtables, htables, segments,
-                 restart_interval) -> np.ndarray:
+def _setup_frame(frame) -> None:
+    """Grid geometry + persistent coefficient storage, shared by the
+    baseline single-scan path and every progressive scan.  ``bw``/``bh``
+    is the MCU-padded block grid the storage uses; ``cbw``/``cbh`` the
+    component's real data-unit grid, which NON-INTERLEAVED scans (ns=1,
+    all progressive AC scans) iterate instead — the padded grid would
+    desync the entropy stream."""
     width, height, comps = frame["w"], frame["h"], frame["comps"]
     if width == 0 or height == 0:
         raise ValueError("zero-dimension JPEG")
@@ -340,16 +371,27 @@ def _decode_scan(frame, scan_sel, qtables, htables, segments,
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1:
         raise ValueError("bad sampling factors")
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"] = mcus_x = -(-width // (8 * hmax))
+    frame["mcus_y"] = mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["cbw"] = -(-(-(-width * c["h"] // hmax)) // 8)
+        c["cbh"] = -(-(-(-height * c["v"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+
+def _decode_scan(frame, scan_sel, qtables, htables, segments,
+                 restart_interval) -> np.ndarray:
+    """Baseline: single interleaved scan covering every component."""
+    comps = frame["comps"]
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
     for c in comps:
         if c["id"] not in scan_sel:
             raise NotImplementedError("multi-scan JPEG (component missing)")
         c["dc_t"], c["ac_t"] = scan_sel[c["id"]]
-        c["bw"] = mcus_x * c["h"]  # blocks per row
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-        c["pred"] = 0
         if c["tq"] not in qtables:
             raise ValueError(f"missing DQT {c['tq']}")
 
@@ -394,10 +436,19 @@ def _decode_scan(frame, scan_sel, qtables, htables, segments,
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["coef"][row * c["bw"] + col] = blk
+    return _finish(frame, qtables)
 
+
+def _finish(frame, qtables) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficient planes (shared by baseline and progressive)."""
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     # numeric half, vectorized per component over all blocks at once
     planes = []
     for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing DQT {c['tq']}")
         # coefficients are in zigzag order; map to natural order then
         # dequantize with the natural-order table
         nat = np.zeros_like(c["coef"])
@@ -436,6 +487,192 @@ def _decode_scan(frame, scan_sel, qtables, htables, segments,
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive scans
+
+
+def _decode_prog_scan(frame, scan_ids, scan_sel, ss, se, ah, al,
+                      htables, segments, restart_interval) -> None:
+    """One progressive (SOF2) scan into the frame's persistent
+    coefficient planes (T.81 annex G decoding procedures; control flow
+    mirrors the public libjpeg scan decoders, re-derived here).
+
+    Scan kinds by (ss, ah):
+      ss == 0           DC scan (se must be 0).  ns may be > 1 —
+                        MCU-interleaved exactly like baseline.
+      ss > 0            AC scan over band [ss, se]; spec requires
+                        ns == 1, iterated over the component's REAL
+                        data-unit grid (cbw x cbh), not the padded one.
+      ah == 0           first pass at this bit position: values arrive
+                        scaled by 2^al.
+      ah > 0            refinement pass: one correction bit per
+                        already-nonzero coefficient, new coefficients
+                        appear as +-2^al.
+    """
+    comps = {c["id"]: c for c in frame["comps"]}
+    scan_comps = []
+    for cid in scan_ids:
+        if cid not in comps:
+            raise ValueError(f"scan references unknown component {cid}")
+        c = comps[cid]
+        c["dc_t"], c["ac_t"] = scan_sel[cid]
+        scan_comps.append(c)
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan with nonzero spectral end")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("interleaved progressive AC scan")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+
+    if ss == 0:
+        _prog_dc_scan(frame, scan_comps, ah, al, htables, segments,
+                      restart_interval)
+    else:
+        _prog_ac_scan(scan_comps[0], ss, se, ah, al, htables, segments,
+                      restart_interval)
+
+
+def _prog_dc_scan(frame, scan_comps, ah, al, htables, segments,
+                  restart_interval) -> None:
+    interleaved = len(scan_comps) > 1
+    for c in scan_comps:
+        c["pred"] = 0
+    if interleaved:
+        units = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        c = scan_comps[0]
+        units = c["cbw"] * c["cbh"]
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            for c in scan_comps:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(u, frame["mcus_x"])
+            targets = [
+                (c, (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx))
+                for c in scan_comps
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+        else:
+            c = scan_comps[0]
+            row, col = divmod(u, c["cbw"])
+            targets = [(c, row * c["bw"] + col)]
+        for c, idx in targets:
+            if ah == 0:
+                tbl = htables.get((0, c["dc_t"]))
+                if tbl is None:
+                    raise ValueError("missing DHT table")
+                t = reader.read_symbol(tbl)
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                c["pred"] += diff
+                c["coef"][idx, 0] = c["pred"] << al
+            else:  # refinement: one bit per block
+                if reader.read_bit():
+                    c["coef"][idx, 0] |= 1 << al
+
+
+def _prog_ac_scan(c, ss, se, ah, al, htables, segments,
+                  restart_interval) -> None:
+    tbl = htables.get((1, c["ac_t"]))
+    if tbl is None:
+        raise ValueError("missing DHT table")
+    units = c["cbw"] * c["cbh"]
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    eobrun = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+        row, col = divmod(u, c["cbw"])
+        blk = c["coef"][row * c["bw"] + col]
+        if ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past spectral band")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:
+            eobrun = _refine_ac_block(reader, tbl, blk, ss, se, al, eobrun)
+
+
+def _refine_ac_block(reader, tbl, blk, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for ONE block (T.81
+    G.2 / libjpeg decode_mcu_AC_refine structure): already-nonzero
+    coefficients each read a correction bit; newly significant ones
+    arrive as +-2^al; EOB runs cover whole blocks but correction bits
+    still flow for their nonzero coefficients."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        v = int(blk[k])
+        if v and reader.read_bit() and (v & p1) == 0:
+            blk[k] = v + (p1 if v > 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: rest of this block is corrections
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            # advance over r zero-history coefficients, correcting
+            # every nonzero-history one passed on the way
+            while k <= se:
+                if blk[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement run past band")
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ------------------------------------------------------------- encode
@@ -643,4 +880,329 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------- progressive encoder
+# Test-vector factory for the progressive decoder: same quantized
+# coefficients as the baseline encoder, re-ordered into a
+# libjpeg-style 10-scan progression (spectral selection + successive
+# approximation on DC and AC).  Per-scan huffman tables are built
+# from a counting pass (fixed-length canonical codes with the
+# all-ones code reserved, per T.81 C.2), because the Annex K baseline
+# tables have no EOBn>0 symbols.
+
+
+class _CountSink:
+    def __init__(self):
+        self.counts: dict[int, int] = {}
+
+    def symbol(self, s: int) -> None:
+        self.counts[s] = self.counts.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    def __init__(self, writer, enc):
+        self.w, self.enc = writer, enc
+
+    def symbol(self, s: int) -> None:
+        code, length = self.enc[s]
+        self.w.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
+def _fixed_table(symbols) -> tuple[list[int], list[int]]:
+    """(BITS, values) giving every observed symbol the same code
+    length L, with 2^L >= n+1 so the all-1-bits code stays unused."""
+    syms = sorted(symbols) or [0]
+    length = 1
+    while (1 << length) < len(syms) + 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+def _scan_dc_first(sink, zz_list, order, al) -> None:
+    preds: dict[int, int] = {}
+    for ci, idx in order:
+        d = int(zz_list[ci][idx, 0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = d - preds.get(ci, 0)
+        preds[ci] = d
+        t, raw = _category(diff)
+        sink.symbol(t)
+        sink.bits(raw, t)
+
+
+def _scan_dc_refine(sink, zz_list, order, al) -> None:
+    for ci, idx in order:
+        sink.bits((int(zz_list[ci][idx, 0]) >> al) & 1, 1)
+
+
+def _flush_eobrun(sink, state) -> None:
+    if state["eobrun"] > 0:
+        n = state["eobrun"].bit_length() - 1
+        sink.symbol(n << 4)
+        sink.bits(state["eobrun"] - (1 << n), n)
+        for b in state["be"]:
+            sink.bits(b, 1)
+        state["be"] = []
+        state["eobrun"] = 0
+
+
+def _scan_ac_first(sink, zz, ss, se, al, n_units) -> None:
+    state = {"eobrun": 0, "be": []}
+    for u in range(n_units):
+        row = zz[u]
+        vals = [
+            (1 if int(row[k]) > 0 else -1) * (abs(int(row[k])) >> al)
+            for k in range(ss, se + 1)
+        ]
+        if not any(vals):
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(sink, state)
+            continue
+        _flush_eobrun(sink, state)
+        r = 0
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        for i, v in enumerate(vals):
+            if v == 0:
+                if i < last_nz:
+                    r += 1
+                continue
+            while r > 15:
+                sink.symbol(0xF0)
+                r -= 16
+            s, raw = _category(v)
+            sink.symbol((r << 4) | s)
+            sink.bits(raw, s)
+            r = 0
+        if last_nz < len(vals) - 1:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(sink, state)
+    _flush_eobrun(sink, state)
+
+
+def _scan_ac_refine(sink, zz, ss, se, al, n_units) -> None:
+    """T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: run lengths count
+    only zero-HISTORY coefficients; previously-significant ones ride
+    along as buffered correction bits flushed after the next symbol."""
+    state = {"eobrun": 0, "be": []}
+    for u in range(n_units):
+        row = zz[u]
+        absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+        eob = 0  # index past the last NEWLY-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                _flush_eobrun(sink, state)
+                sink.symbol(0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if t > 1:  # previously significant: correction bit only
+                br.append(t & 1)
+                continue
+            _flush_eobrun(sink, state)
+            sink.symbol((r << 4) | 1)
+            sink.bits(1 if int(row[ss + i]) > 0 else 0, 1)
+            r = 0
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["be"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(sink, state)
+    _flush_eobrun(sink, state)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(H, W[, C]) uint8 -> progressive (SOF2) JFIF bytes carrying the
+    SAME quantized coefficients as :func:`encode_jpeg` at the same
+    quality — so ``decode_jpeg(progressive) == decode_jpeg(baseline)``
+    exactly, which is the differential oracle the tests use."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    height, width, ncomp = a.shape
+    if height == 0 or width == 0:
+        raise ValueError("zero-dimension image")
+    gray = ncomp == 1
+    ql = _scale_q(_Q_LUMA.reshape(8, 8), quality)
+    qc = _scale_q(_Q_CHROMA.reshape(8, 8), quality)
+
+    if gray:
+        planes = [a[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r = a[:, :, 0].astype(np.float64)
+        g = a[:, :, 1].astype(np.float64)
+        b = a[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            eh, ew = -(-height // 2) * 2, -(-width // 2) * 2
+            cbp = np.pad(cb, ((0, eh - height), (0, ew - width)), mode="edge")
+            crp = np.pad(cr, ((0, eh - height), (0, ew - width)), mode="edge")
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    qs = [ql] + ([] if gray else [qc, qc])
+
+    # quantized zigzag coefficients per component, padded block grid,
+    # row-major (the same numbers the baseline encoder would emit)
+    zz_list = []
+    grids = []
+    for ci, (plane, (h, v)) in enumerate(zip(planes, samp)):
+        bw, bh = mcus_x * h, mcus_y * v
+        pp = np.pad(
+            plane,
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _DCT_B @ (blocks - 128.0) @ _DCT_B.T
+        quant = np.round(coefs / qs[ci].astype(np.float64)[None]).astype(
+            np.int64
+        )
+        zz_list.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+        cw = -(-(-(-width * h // hmax)) // 8)
+        ch = -(-(-(-height * v // vmax)) // 8)
+        grids.append({"h": h, "v": v, "bw": bw, "bh": bh,
+                      "cbw": cw, "cbh": ch})
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    def dqt(tq, table):
+        zzq = table.reshape(64)[_ZIGZAG]
+        return (
+            b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq])
+            + bytes(int(x) for x in zzq)
+        )
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+
+    ncomps = len(planes)
+    sof = struct.pack(">BHHB", 8, height, width, ncomps)
+    for ci in range(ncomps):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+    else:  # the libjpeg default progression shape
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+
+    def dc_order(comp_idxs):
+        if len(comp_idxs) > 1:
+            order = []
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci in comp_idxs:
+                    g = grids[ci]
+                    for by in range(g["v"]):
+                        for bx in range(g["h"]):
+                            order.append(
+                                (ci,
+                                 (my * g["v"] + by) * g["bw"]
+                                 + (mx * g["h"] + bx))
+                            )
+            return order
+        ci = comp_idxs[0]
+        g = grids[ci]
+        return [
+            (ci, (u // g["cbw"]) * g["bw"] + u % g["cbw"])
+            for u in range(g["cbw"] * g["cbh"])
+        ]
+
+    for comp_idxs, ss, se, ah, al in script:
+        # run the scan once to count symbols, build the table, rerun
+        def run(sink):
+            if ss == 0 and ah == 0:
+                _scan_dc_first(sink, zz_list, dc_order(comp_idxs), al)
+            elif ss == 0:
+                _scan_dc_refine(sink, zz_list, dc_order(comp_idxs), al)
+            else:
+                ci = comp_idxs[0]
+                g = grids[ci]
+                rows = np.stack([
+                    zz_list[ci][(u // g["cbw"]) * g["bw"] + u % g["cbw"]]
+                    for u in range(g["cbw"] * g["cbh"])
+                ])
+                if ah == 0:
+                    _scan_ac_first(sink, rows, ss, se, al, len(rows))
+                else:
+                    _scan_ac_refine(sink, rows, ss, se, al, len(rows))
+
+        needs_table = not (ss == 0 and ah > 0)
+        enc = None
+        if needs_table:
+            counter = _CountSink()
+            run(counter)
+            bits, vals = _fixed_table(counter.counts)
+            tc = 0 if ss == 0 else 1
+            body = bytes([(tc << 4) | 0]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+            enc = _build_encode_table(bits, vals)
+
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0x00])  # both table ids 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        writer = _BitWriter()
+        run(_WriteSink(writer, enc) if enc is not None
+            else _WriteSink(writer, {}))
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -153,9 +153,10 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
     - GIF (LZW + compositing, functions/gif_codec.py): logical-screen
       dims, exact ``n_frames`` (block walk — only the first frame pays
       LZW decode), features from the first composited frame's RGB.
-    - baseline JPEG (huffman + two-matmul IDCT,
-      functions/jpeg_codec.py): true dims + pixel-stat features;
-      progressive JPEG degrades to real header dims, features null.
+    - JPEG, baseline AND progressive (huffman + two-matmul IDCT,
+      successive-approximation scans, functions/jpeg_codec.py): true
+      dims + pixel-stat features; arithmetic-coded/lossless variants
+      degrade to real header dims, features null.
     - WAV (RIFF/PCM, functions/wav_codec.py), mapped onto the image
       schema as width=sample_rate, height=n_channels,
       n_frames=n_samples, features=16 audio stats (rms/zcr/spectral
@@ -192,7 +193,7 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
         try:
             arr = decode_jpeg(p)
         except NotImplementedError:
-            # progressive/arithmetic variants: header dims still real
+            # arithmetic/lossless variants: header dims still real
             return header_decoder(kind, payload)
         return {
             "width": int(arr.shape[1]),
