@@ -58,13 +58,21 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     ap.add_argument("--user-agent", default="",
                     help="crawler product token for robots group "
                          "selection (default '*' groups)")
+    ap.add_argument("--default-crawl-delay", type=float, default=0.0,
+                    help="politeness seconds between fetches for hosts "
+                         "without a robots Crawl-delay; any positive "
+                         "value (or any robots Crawl-delay) adds a "
+                         "not_before_s schedule column")
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
     from vlm_ocr_pipeline_spark.operators.frontier import build_fetch_frontier
-    from vlm_ocr_pipeline_spark.operators.urls import parse_robots_rules
+    from vlm_ocr_pipeline_spark.operators.urls import (
+        parse_robots_crawl_delay,
+        parse_robots_rules,
+    )
     from vlm_ocr_pipeline_spark.plans.session import get_spark
     from vlm_ocr_pipeline_spark.sources.sitemap import discover_sitemaps
 
@@ -104,12 +112,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         report["captured_rows"] = captured.count()
     done = spark.read.parquet(args.done).select("url") if args.done else None
 
+    delays = parse_robots_crawl_delay(
+        robots, user_agent=args.user_agent or None
+    )
     frontier = build_fetch_frontier(
         declared,
         captured=captured,
         done=done,
         robots_rules=rules,
         per_host_cap=args.per_host_cap or None,
+        crawl_delays=delays,
+        default_delay_s=args.default_crawl_delay or None,
     )
     out = os.path.join(args.output, "frontier")
     frontier.write.mode("overwrite").parquet(out)

@@ -150,3 +150,55 @@ def test_build_frontier_job_end_to_end(spark, tmp_path):
     assert base + "p1" not in set(got["url"])
     assert all("/private" not in u for u in got["url"])
     assert sorted(got["slot"]) == [0, 1, 2, 3]
+
+
+def test_crawl_delay_schedule(spark):
+    """robots Crawl-delay -> per-host not_before_s = slot * delay."""
+    from vlm_ocr_pipeline_spark.operators.urls import parse_robots_crawl_delay
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example.org",
+             "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+            ("fast.example.org", "User-agent: *\nDisallow:\n"),
+            ("bot.example.org",
+             "User-agent: examplebot\nCrawl-delay: 2\n"
+             "User-agent: *\nCrawl-delay: 30\n"),
+            ("junk.example.org", "User-agent: *\nCrawl-delay: soon\n"),
+        ],
+        "host string, body string",
+    )
+    delays = {
+        r["host"]: r["crawl_delay_s"]
+        for r in parse_robots_crawl_delay(robots).collect()
+    }
+    # '*' view: junk value ignored, no-directive host absent
+    assert delays == {"slow.example.org": 10.0, "bot.example.org": 30.0}
+    # token view selects the specific group
+    bot = {
+        r["host"]: r["crawl_delay_s"]
+        for r in parse_robots_crawl_delay(
+            robots, user_agent="examplebot-news"
+        ).collect()
+    }
+    assert bot["bot.example.org"] == 2.0
+
+    declared = spark.createDataFrame(
+        [(f"https://slow.example.org/p{i}",) for i in range(3)]
+        + [(f"https://fast.example.org/p{i}",) for i in range(3)],
+        "url string",
+    )
+    fr = build_fetch_frontier(
+        declared,
+        crawl_delays=parse_robots_crawl_delay(robots),
+        default_delay_s=1.0,
+    ).toPandas()
+    assert "not_before_s" in fr.columns
+    by_host = fr.groupby("host")
+    for host, g in by_host:
+        g = g.sort_values("slot")
+        step = 10.0 if host == "slow.example.org" else 1.0
+        assert list(g["not_before_s"]) == [0.0, step, 2 * step]
+    # without any delay input the schedule column is absent (stable
+    # pre-existing schema)
+    assert "not_before_s" not in build_fetch_frontier(declared).columns

@@ -51,6 +51,8 @@ def build_fetch_frontier(
     robots_rules: DataFrame | None = None,
     per_host_cap: int | None = None,
     url_col: str = "url",
+    crawl_delays: DataFrame | None = None,
+    default_delay_s: float | None = None,
 ) -> DataFrame:
     """The fetch frontier from discovery/capture/checkpoint tables.
 
@@ -66,6 +68,15 @@ def build_fetch_frontier(
     0-based per-host fetch round (a fetcher draining slot 0 across all
     hosts, then slot 1, ... never hits one host twice per round);
     ``priority`` orders within a slot build (fresher lastmod first).
+
+    With ``crawl_delays`` (a
+    :func:`~vlm_ocr_pipeline_spark.operators.urls.parse_robots_crawl_delay`
+    table) and/or ``default_delay_s``, the output adds
+    ``not_before_s = slot * delay`` — the earliest offset (seconds
+    from frontier start) a Crawl-delay-honoring fetcher may request
+    the url, with the host's declared delay taking precedence over
+    the default.  The delays table is one row per host and joins as a
+    broadcast; the frontier side's plan shape is unchanged.
     """
     for c in _RESERVED:
         if c in declared.columns:
@@ -115,10 +126,29 @@ def build_fetch_frontier(
     out = cand.withColumn("_rn", F.row_number().over(w))
     if per_host_cap is not None:
         out = out.filter(F.col("_rn") <= per_host_cap)
-    return out.select(
+    out = out.select(
         "url",
         F.col("_host").alias("host"),
         "lastmod",
         F.col("_h").alias("priority"),
         (F.col("_rn") - 1).cast("long").alias("slot"),
     )
+    if crawl_delays is not None or default_delay_s is not None:
+        default = F.lit(
+            float(default_delay_s) if default_delay_s is not None else 0.0
+        )
+        if crawl_delays is not None:
+            delays = crawl_delays.select(
+                F.lower(F.col("host")).alias("host"),
+                F.col("crawl_delay_s").cast("double").alias("_delay"),
+            )
+            out = out.join(F.broadcast(delays), "host", "left")
+            delay = F.coalesce(F.col("_delay"), default)
+        else:
+            delay = default
+        out = out.withColumn(
+            "not_before_s", (F.col("slot") * delay).cast("double")
+        )
+        if crawl_delays is not None:
+            out = out.drop("_delay")
+    return out

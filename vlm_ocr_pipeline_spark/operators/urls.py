@@ -419,6 +419,48 @@ def _robots_rule_regex_col(path: Column) -> Column:
     return F.when(path.contains("*") | anchored, built)
 
 
+def _parse_robots_groups(
+    body: str | None,
+) -> list[tuple[list[str], list[tuple[str, str]]]]:
+    """robots.txt body -> [(user-agent lines, [(field, value), ...])]
+    with GROUP-SCOPED fields (allow / disallow / crawl-delay) attached
+    to the most recent User-agent run.  Crawl-delay closes an agent
+    run exactly like a rule line does — the original-spec reading the
+    engines that honor Crawl-delay use."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    in_rules = False
+    for line in (body or "").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_rules or not groups:
+                groups.append(([], []))
+                in_rules = False
+            groups[-1][0].append(value.lower())
+        elif field in ("allow", "disallow", "crawl-delay") and groups:
+            in_rules = True
+            groups[-1][1].append((field, value))
+    return groups
+
+
+def _robots_winning_agent(groups, token: str) -> str:
+    """RFC 9309 §2.2.1 group selection: the longest User-agent line
+    that is a prefix of the crawler token wins; '*' only when nothing
+    longer matched; empty token -> '*' (the default-crawler view)."""
+    if token:
+        best = ""
+        for ag, _rules in groups:
+            for a in ag:
+                if a != "*" and token.startswith(a) and len(a) > len(best):
+                    best = a
+        return best if best else "*"
+    return "*"
+
+
 def parse_robots_rules(
     robots: DataFrame,
     host_col: str = "host",
@@ -458,40 +500,14 @@ def parse_robots_rules(
         for b in batches:
             rows = []
             for host, body in zip(b[host_col], b[body_col]):
-                # parse ALL groups first: (agent lines, rule list)
-                groups: list[tuple[list[str], list[tuple[str, str]]]] = []
-                agents: list[str] = []
-                in_rules = False
-                for line in (body or "").splitlines():
-                    line = line.split("#", 1)[0].strip()
-                    if not line or ":" not in line:
-                        continue
-                    field, _, value = line.partition(":")
-                    field = field.strip().lower()
-                    value = value.strip()
-                    if field == "user-agent":
-                        if in_rules or not groups:
-                            groups.append(([], []))
-                            in_rules = False
-                        groups[-1][0].append(value.lower())
-                    elif field in ("allow", "disallow") and groups:
-                        in_rules = True
-                        if value:
-                            groups[-1][1].append((field, value))
-                # select the governing group(s)
-                if token:
-                    best = ""
-                    for ag, _rules in groups:
-                        for a in ag:
-                            if a != "*" and token.startswith(a) and len(a) > len(best):
-                                best = a
-                    sel = best if best else "*"
-                else:
-                    sel = "*"
+                groups = _parse_robots_groups(body)
+                sel = _robots_winning_agent(groups, token)
                 for ag, rules in groups:
                     if sel not in ag:
                         continue
                     for field, value in rules:
+                        if field not in ("allow", "disallow") or not value:
+                            continue
                         # RFC 9309 matches percent-encoded octets
                         # consistently: normalize the rule here, the
                         # page path in robots_disallow_filter (same
@@ -543,6 +559,53 @@ def parse_robots_sitemaps(
         .filter(F.col("sitemap_url") != "")
         .distinct()
     )
+
+
+def parse_robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str | None = None,
+) -> DataFrame:
+    """``Crawl-delay:`` per host for the governing user-agent group ->
+    (host, crawl_delay_s double) rows.  Not in RFC 9309 but a de-facto
+    directive several major engines honor; group selection follows the
+    same §2.2.1 longest-token rule as :func:`parse_robots_rules`.
+    Non-numeric and negative values are ignored; multiple applicable
+    values keep the LARGEST (the conservative, politest reading).
+    Hosts without a directive emit no row — the caller picks its own
+    default.  Tiny side input (one short body per host), same
+    mapInPandas shape as the rules parser."""
+    import pandas as pd
+
+    token = (user_agent or "").strip().lower()
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for host, body in zip(b[host_col], b[body_col]):
+                groups = _parse_robots_groups(body)
+                sel = _robots_winning_agent(groups, token)
+                best: float | None = None
+                for ag, rules in groups:
+                    if sel not in ag:
+                        continue
+                    for field, value in rules:
+                        if field != "crawl-delay":
+                            continue
+                        try:
+                            d = float(value)
+                        except ValueError:
+                            continue
+                        if d >= 0 and (best is None or d > best):
+                            best = d
+                if best is not None:
+                    rows.append({"host": host, "crawl_delay_s": best})
+            yield pd.DataFrame(rows, columns=["host", "crawl_delay_s"])
+
+    return robots.select(
+        F.col(host_col).alias(host_col), F.col(body_col).alias(body_col)
+    ).mapInPandas(gen, schema="host string, crawl_delay_s double")
 
 
 def robots_disallow_filter(
