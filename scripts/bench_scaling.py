@@ -33,12 +33,25 @@ def run(cpus: int, pages: int) -> dict:
     return json.loads(line)
 
 
+def _steal() -> tuple[int, int]:
+    parts = open("/proc/stat").readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 def run_best(cpus: int, pages: int, trials: int) -> dict:
     """Best-of-N throughput per level — single runs vary ~10% with
-    machine state (turbo/page cache), which would dominate the ratio."""
+    machine state (turbo/page cache), which would dominate the ratio.
+    Hypervisor steal%% is sampled around each trial: on a stage
+    barrier one stolen vCPU stalls the whole stage, so even a few
+    percent steal invalidates a ratio — the recorded number carries
+    the evidence."""
     best = None
     for _ in range(trials):
+        s0, t0 = _steal()
         r = run(cpus, pages)
+        s1, t1 = _steal()
+        r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
         if best is None or r["extract_docs_per_sec"] > best["extract_docs_per_sec"]:
             best = r
     return best
@@ -71,6 +84,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "steal_pct_n": r_lo.get("steal_pct"),
+        "steal_pct_4n": r_hi.get("steal_pct"),
     }
     # cache so bench.py can embed the latest scaling evidence in its
     # one-line JSON (the driver records that file per round)
