@@ -148,6 +148,16 @@ def test_truncated_multibyte_tail_never_raises():
     assert text.startswith("ok ")
 
 
+def test_iso2022jp_detected_despite_being_valid_ascii():
+    # 7-bit encoding: utf-8-validity alone would keep the escape runs
+    s = "件名 meeting tomorrow 予定"
+    payload = s.encode("iso2022_jp")
+    assert payload.decode("utf-8", "strict")  # the trap: it IS valid
+    text, codec, evidence = charset.decode_payload(payload)
+    assert (codec, evidence) == ("iso2022_jp", "escape-shift")
+    assert text == s
+
+
 def test_mostly_utf8_with_stray_bytes_stays_utf8():
     # a long UTF-8 page with one corrupt byte must NOT fall to 1252
     # (that would mojibake every multibyte char on the page)

@@ -164,10 +164,10 @@ def test_malformed_inputs_raise():
     # truncated IDAT payload length claim
     with pytest.raises(ValueError):
         decode_png(good[:-8])
-    # interlace / bit-depth out of scope -> NotImplementedError
+    # bit-depth out of scope -> NotImplementedError; a 1x1 Adam7 image
+    # is pass 1 only (same bytes as non-interlaced) and decodes
     raw = bytes([0, 1])
-    with pytest.raises(NotImplementedError):
-        decode_png(build_png(1, 1, 0, raw, interlace=1))
+    assert decode_png(build_png(1, 1, 0, raw, interlace=1)).shape == (1, 1, 1)
     with pytest.raises(NotImplementedError):
         decode_png(build_png(1, 1, 0, raw, bit_depth=16))
 
@@ -234,3 +234,49 @@ def test_spark_stdlib_decode_and_resize(spark):
         arr = decode_png(bytes(out[i]["payload"]))
         assert arr.shape == (4, 4, 3)
     assert out[6]["status"] == "stubbed:no_codec"
+
+
+# --------------------------------------------------------------- Adam7
+
+
+@pytest.mark.parametrize("h,w,ch", [
+    (16, 16, 3), (13, 7, 1), (9, 33, 4), (1, 1, 3), (2, 3, 2), (8, 1, 1),
+])
+def test_adam7_interlaced_roundtrip(h, w, ch):
+    """encode(interlace=True) -> decode recovers the exact pixels for
+    every pass-geometry edge (dims smaller than the 8x8 pass grid,
+    single row/column, all channel counts)."""
+    rng = np.random.default_rng(h * 100 + w * 10 + ch)
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8).astype(np.uint8)
+    blob = encode_png(img, interlace=True)
+    out = decode_png(blob)
+    np.testing.assert_array_equal(out, img)
+    # and the interlaced encoding is a genuinely different byte stream
+    assert blob != encode_png(img)
+
+
+def test_adam7_truncated_pass_raises():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    blob = bytearray(encode_png(img, interlace=True))
+    # rebuild the IDAT with one byte chopped off the decompressed
+    # stream: the pass walk must detect the shortfall, not misalign
+    import struct as _s
+    import zlib as _z
+
+    # locate IDAT chunk, shrink its decompressed content by one byte
+    i = 8
+    while True:
+        (ln,) = _s.unpack(">I", bytes(blob[i : i + 4]))
+        ctype = bytes(blob[i + 4 : i + 8])
+        if ctype == b"IDAT":
+            raw = _z.decompress(bytes(blob[i + 8 : i + 8 + ln]))
+            short = _z.compress(raw[:-1], 6)
+            new = (
+                _s.pack(">I", len(short)) + b"IDAT" + short
+                + _s.pack(">I", _z.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+            )
+            blob = blob[:i] + bytearray(new) + blob[i + 12 + ln :]
+            break
+        i += 12 + ln
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))

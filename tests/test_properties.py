@@ -250,3 +250,55 @@ def test_bpe_encode_word_lossless(freqs, word):
     ranks = {p: i for i, p in enumerate(merges)}
     toks = bpe.encode_word(word, ranks)
     assert "".join(toks) == word + bpe.EOW
+
+
+# ----------------------------------------------------- charset ladder
+
+
+@settings(derandomize=True, max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_payload_total_on_arbitrary_bytes(payload):
+    """The decode ladder never raises and always returns a str — the
+    row-status contract extraction depends on."""
+    from vlm_ocr_pipeline_spark.functions import charset
+
+    text, codec, evidence = charset.decode_payload(payload)
+    assert isinstance(text, str) and isinstance(codec, str)
+    assert evidence in (
+        "bom", "nul-pattern", "escape-shift", "declared", "meta",
+        "utf-8", "utf-8-lossy", "fallback",
+    )
+
+
+@settings(derandomize=True, max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_fix_mojibake_total_and_idempotent(text):
+    """Repair never raises on arbitrary unicode and is a fixpoint
+    after one application (the accept gate guarantees it)."""
+    from vlm_ocr_pipeline_spark.functions import charset
+
+    once = charset.fix_mojibake(text)
+    assert charset.fix_mojibake(once) == once
+
+
+@settings(derandomize=True, max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=120))
+def test_mangled_roundtrip_recovers_when_detectable(text):
+    """For any UTF-8-encodable text, sloppy-1252 mangling either gets
+    fully repaired or (when the text has no multibyte chars, so
+    mangling is the identity) stays unchanged."""
+    from vlm_ocr_pipeline_spark.functions import charset
+
+    mangled = "".join(
+        chr(charset._SLOPPY_DECODE[b]) for b in text.encode("utf-8")
+    )
+    if mangled == text:  # pure-ASCII: nothing to repair
+        return
+    fixed = charset.fix_mojibake(mangled)
+    # repair is accept-gated: it must never make things WORSE, and
+    # whenever the fingerprint regex sees the damage it must fully
+    # undo it (single-pass mangle is always byte-reversible)
+    if charset.py_mojibake_count(mangled) > 0:
+        assert fixed == text
+    else:
+        assert fixed == mangled

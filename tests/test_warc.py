@@ -129,3 +129,51 @@ def test_stream_warc_extract_incremental(spark, tmp_path):
     assert set(out["url"]) == {
         "https://a.example.org/1", "https://a.example.org/2",
     }
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_fetch_warc_records_by_index(spark, tmp_path, gz):
+    """CDXJ-style (filename, offset, length) picks read ONLY the
+    indexed records and agree byte-for-byte with the full scan."""
+    import os
+
+    recs = []
+    for i in range(6):
+        recs.append(
+            {
+                "url": f"https://idx.example.org/{i}",
+                "warc_ts": TS + dt.timedelta(seconds=i),
+                "payload": f"<html><body><p>record {i}</p></body></html>"
+                .encode(),
+            }
+        )
+    # per-record members so offsets are the cumulative member sizes
+    members = [warc.build_warc([r], gzip_members=gz) for r in recs]
+    blob = b"".join(members)
+    name = "picks.warc.gz" if gz else "picks.warc"
+    (tmp_path / name).write_bytes(blob)
+    offsets, pos = [], 0
+    for m in members:
+        offsets.append((pos, len(m)))
+        pos += len(m)
+    picks = [1, 4, 5]
+    index = spark.createDataFrame(
+        [(name, offsets[i][0], offsets[i][1]) for i in picks],
+        "filename string, offset long, length long",
+    )
+    got = (
+        warc.fetch_warc_records(index, str(tmp_path))
+        .orderBy("url")
+        .toPandas()
+    )
+    assert list(got["url"]) == [f"https://idx.example.org/{i}" for i in picks]
+    full = warc.read_warc(spark, str(tmp_path / name)).orderBy("url").toPandas()
+    wanted = full[full["url"].isin(set(got["url"]))].reset_index(drop=True)
+    assert [bytes(x) for x in got["html"]] == [bytes(x) for x in wanted["html"]]
+
+    # stale entries (missing file, out-of-range offset) are skipped
+    stale = spark.createDataFrame(
+        [("gone.warc.gz", 0, 100), (name, 10**9, 50)],
+        "filename string, offset long, length long",
+    )
+    assert warc.fetch_warc_records(stale, str(tmp_path)).count() == 0

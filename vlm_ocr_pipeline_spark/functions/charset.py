@@ -156,6 +156,13 @@ def sniff_codec(payload: bytes, declared: str | None = None) -> tuple[str, str]:
     codec = _nul_pattern_codec(payload)
     if codec:
         return codec, "nul-pattern"
+    # ISO-2022-JP is pure 7-bit ASCII + ESC shift sequences, so it IS
+    # valid UTF-8 — the validity ladder would silently keep the raw
+    # escape runs.  The shift sequences themselves (ESC $ B / ESC $ @
+    # to JIS X 0208, ESC ( B back to ASCII) never occur in real text,
+    # so their presence is decisive.
+    if b"\x1b$B" in payload or b"\x1b$@" in payload:
+        return "iso2022_jp", "escape-shift"
     hinted = resolve_label(declared)
     if hinted and hinted != "utf-8":
         # non-UTF-8 transport hint: honored only if payload isn't

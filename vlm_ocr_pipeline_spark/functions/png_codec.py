@@ -10,9 +10,12 @@ by construction):
 
 - decode: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); filters 0-4 (None/Sub/Up/Average/Paeth);
-  non-interlaced only (Adam7 raises NotImplementedError -> the Spark
-  stage records a status row, never aborts the job).
-- encode: filter 0 (None) scanlines, one IDAT, CRC via zlib.crc32.
+  both non-interlaced and Adam7-interlaced layouts (7 sub-images,
+  per-pass filtering).  Only bit depths != 8 still raise
+  NotImplementedError -> the Spark stage records a status row, never
+  aborts the job.
+- encode: filter 0 (None) scanlines, one IDAT, CRC via zlib.crc32;
+  optional Adam7 layout (the interlaced decoder's test-vector twin).
 - resize: nearest-neighbour and box-average via numpy indexing.
 
 Scale shape: decode happens INSIDE mapInPandas Arrow batches
@@ -136,8 +139,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     if bit_depth != 8:
         raise NotImplementedError(f"bit depth {bit_depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid color type {color_type}")
     if width == 0 or height == 0:
@@ -145,11 +148,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _CHANNELS[color_type]
     stride = width * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (1 + stride):
-        raise ValueError(
-            f"IDAT size {raw.size} != expected {height * (1 + stride)}"
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, width, height, ch)
+    else:
+        if raw.size != height * (1 + stride):
+            raise ValueError(
+                f"IDAT size {raw.size} != expected {height * (1 + stride)}"
+            )
+        px = _unfilter(raw.copy(), height, stride, ch).reshape(
+            height, width, ch
         )
-    px = _unfilter(raw.copy(), height, stride, ch).reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
@@ -166,10 +174,47 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+# Adam7 pass grid: (x origin, y origin, x step, y step).  The
+# decompressed stream is the 7 reduced sub-images in order, each with
+# its own filter byte per scanline and filtering scoped to the pass
+# (the previous row is the pass's previous row, never the image's).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(
+    raw: np.ndarray, width: int, height: int, ch: int
+) -> np.ndarray:
+    """Decode the 7 Adam7 sub-images and scatter them onto the full
+    grid (PNG spec 3rd ed. §8.2).  Empty passes (dimension rounds to
+    zero) contribute NO bytes, not even filter bytes."""
+    out = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        need = ph * (1 + stride)
+        if pos + need > raw.size:
+            raise ValueError("IDAT too short for Adam7 passes")
+        sub = _unfilter(raw[pos : pos + need].copy(), ph, stride, ch)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        pos += need
+    if pos != raw.size:
+        raise ValueError(f"IDAT size {raw.size} != Adam7 expected {pos}")
+    return out
+
+
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W[, C]) uint8 array -> PNG bytes (filter 0, single IDAT).
 
     C = 1 -> grayscale, 2 -> gray+alpha, 3 -> RGB, 4 -> RGBA.
+    ``interlace`` writes the Adam7 layout (7 filter-0 sub-images) —
+    the test-vector twin of :func:`_deinterlace_adam7`.
     """
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -178,11 +223,25 @@ def encode_png(arr: np.ndarray) -> bytes:
         raise ValueError(f"unsupported array shape {arr.shape}")
     height, width, ch = a.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    # prepend the filter-0 byte per scanline
-    lines = np.zeros((height, 1 + width * ch), dtype=np.uint8)
-    lines[:, 1:] = a.reshape(height, width * ch)
-    idat = zlib.compress(lines.tobytes(), 6)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            lines = np.zeros((ph, 1 + pw * ch), dtype=np.uint8)
+            lines[:, 1:] = sub.reshape(ph, pw * ch)
+            parts.append(lines.tobytes())
+        idat = zlib.compress(b"".join(parts), 6)
+    else:
+        # prepend the filter-0 byte per scanline
+        lines = np.zeros((height, 1 + width * ch), dtype=np.uint8)
+        lines[:, 1:] = a.reshape(height, width * ch)
+        idat = zlib.compress(lines.tobytes(), 6)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (

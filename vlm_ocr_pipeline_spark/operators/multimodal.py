@@ -168,7 +168,7 @@ def stdlib_pixel_decoder(kind: str, payload: bytes) -> dict:
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         from ..functions.png_codec import decode_png, pixel_features
 
-        arr = decode_png(p)  # ValueError -> failed:*, Adam7 -> stubbed
+        arr = decode_png(p)  # ValueError -> failed:*, 16-bit -> stubbed
         return {
             "width": int(arr.shape[1]),
             "height": int(arr.shape[0]),

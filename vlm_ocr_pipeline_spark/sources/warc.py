@@ -34,7 +34,7 @@ from datetime import datetime, timezone
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import schema
 
@@ -194,3 +194,70 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         )
         out.append(_gzip.compress(rec) if gzip_members else rec)
     return b"".join(out)
+
+
+def fetch_warc_records(
+    index: DataFrame, warc_dir: str
+) -> DataFrame:
+    """Selective record fetch: read ONLY the records a capture index
+    points at, by (filename, offset, length) — the standard
+    Common-Crawl access pattern (cc-index -> range request into the
+    archive), and the complement of :func:`read_warc`'s full scan.
+
+    ``index``: any frame with string ``filename`` and numeric
+    ``offset`` / ``length`` columns (:func:`~vlm_ocr_pipeline_spark.
+    sources.cdxj.read_cdxj` output qualifies directly).  ``offset``
+    addresses the record's gzip member (or the raw record in a plain
+    .warc), ``length`` its byte span — exactly what CDXJ carries.
+
+    Scale shape: the index rows hash-partition by ``filename`` so one
+    task owns each archive and reads its picks in ascending-offset
+    order through one handle (sequential-ish I/O, one open per file
+    per task); only the indexed byte ranges are read — a 1000-record
+    pick out of a 100 TB archive set reads ~1000 x ~50 KB, never the
+    archives.  On object storage the open/seek/read maps onto ranged
+    GETs the same way.  Rows whose file is missing or whose range is
+    corrupt are skipped (a stale index entry must not kill the fetch).
+
+    Output: the PAGES schema (url, warc_ts, html, text, lang) — feeds
+    ``plans.pipeline.extract`` directly, like :func:`read_warc`.
+    """
+    import os as _os
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for b in batches:
+            rows = []
+            order = b.sort_values(["filename", "offset"])
+            handle = None
+            handle_name = None
+            for fn, off, ln in zip(
+                order["filename"], order["offset"], order["length"]
+            ):
+                if fn is None or off is None or ln is None:
+                    continue
+                path = _os.path.join(warc_dir, str(fn))
+                try:
+                    if handle_name != path:
+                        if handle is not None:
+                            handle.close()
+                        handle = open(path, "rb")
+                        handle_name = path
+                    handle.seek(int(off))
+                    raw = handle.read(int(ln))
+                except OSError:
+                    handle, handle_name = None, None
+                    continue  # stale index entry / missing archive
+                rows.extend(pages_from_warc_bytes(raw))
+            if handle is not None:
+                handle.close()
+            yield pd.DataFrame(rows, columns=cols)
+
+    sel = index.select(
+        F.col("filename").cast("string").alias("filename"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("length").cast("long").alias("length"),
+    )
+    return sel.repartition("filename").mapInPandas(
+        gen, schema=schema.PAGES_SCHEMA
+    )
