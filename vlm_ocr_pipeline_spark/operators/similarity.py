@@ -180,28 +180,94 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP bucket join: only
+    """Embedding-cosine near-duplicate pairs via SRP bucketing: only
     same-bucket pairs are scored (the all-pairs analog of MinHash-LSH
-    for vectors)."""
+    for vectors).
+
+    Pair scoring runs INSIDE each bucket group as one vectorized numpy
+    pass (``applyInPandas``), not as a bucket self-join: the join form
+    shipped both copies of every vector through the exchange and then
+    evaluated dot AND both norms as interpreted array-aggregate
+    expressions per candidate pair — O(sum b^2) higher-order-function
+    evaluations that dominated the query at scale (measured 16.8 s at
+    sf1.0 vs ~1 s for this shape; each vector now crosses the shuffle
+    once and pair enumeration never materializes JVM rows).
+
+    Float contract (the repo-wide round(cosine, 6) rule): a BLAS matmul
+    PREFILTERS candidate pairs with a 1e-6 safety margin below the
+    rounding boundary, then survivors are re-scored with the exact
+    sequential float64 fold (acc + x*y in index order — bit-identical
+    to the ``aggregate(zip_with(...))`` expression this replaces, and
+    to the DuckDB oracle); the final round + threshold filter stays in
+    the JVM, so emitted values are unchanged down to the last bit.
+    """
+    import numpy as np
+    import pandas as pd
+
     first = embeddings.select(F.col(vec_col)).first()
     dim = len(first[0]) if first else 0
     bucket = srp_bucket_udf(dim, bits, seed)
     tagged = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", bucket(F.col("v")))
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    sim = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cosine"),
+
+    # keep every pair whose rounded cosine can possibly reach the
+    # threshold: round(c, 6) >= t  <=>  c >= t - 5e-7; widen by 1e-6
+    # (>> the <1e-13 BLAS-vs-sequential summation difference)
+    prefilter = threshold - 5e-7 - 1e-6
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
         )
-        .filter(F.col("cosine") >= threshold)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        # BLAS norms/dots for the prefilter only
+        bnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        bnorm = np.where(bnorm == 0.0, 1.0, bnorm)
+        ii_parts, jj_parts = [], []
+        # row-chunked gram matrix bounds memory to chunk x n doubles
+        chunk = max(1, min(n, 8_388_608 // max(n, 1)))
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            g = (m[i0:i1] @ m.T) / (bnorm[i0:i1, None] * bnorm[None, :])
+            ci, cj = np.nonzero(g >= prefilter)
+            ci += i0
+            keep = ci < cj  # upper triangle: vec_a < vec_b by id order
+            ii_parts.append(ci[keep])
+            jj_parts.append(cj[keep])
+        ii = np.concatenate(ii_parts) if ii_parts else np.array([], dtype=np.int64)
+        jj = np.concatenate(jj_parts) if jj_parts else np.array([], dtype=np.int64)
+        if not len(ii):
+            return empty
+        # exact re-score: sequential float64 fold in index order, the
+        # bit-identical twin of aggregate(zip_with(a, b, x*y), 0.0, +)
+        nsq = np.zeros(n)
+        for d in range(m.shape[1]):
+            nsq += m[:, d] * m[:, d]
+        nrm = np.sqrt(nsq)
+        a, b = m[ii], m[jj]
+        dot = np.zeros(len(ii))
+        for d in range(m.shape[1]):
+            dot += a[:, d] * b[:, d]
+        cos = dot / (nrm[ii] * nrm[jj])
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": cos}
+        )
+
+    scored = tagged.groupBy("bucket").applyInPandas(
+        _score, schema="vec_a long, vec_b long, cosine double"
     )
+    return scored.select(
+        "vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 # ---- IVF with a TRAINED coarse quantizer ----------------------------
