@@ -22,6 +22,10 @@ turns the O(n²) pair space into per-bucket candidates only.
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: F401 — resolved in pandas_udf type hints
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..partitioning import spread_narrow as _spread  # noqa: E402
@@ -170,25 +174,82 @@ def minhash_signatures(
     ``hash_family``:
     - "md5" (default): h_k(s) = md5(s || ':' || k) compared
       lexicographically — engine-portable (Spark and DuckDB md5 both
-      emit lowercase hex), used by the DuckDB oracle.
-    - "xxhash64": h_k(s) = xxhash64(k, s) as BIGINT — ~25% faster
-      (integer min-agg, no hex strings); the cluster-scale path when
-      oracle portability is not needed.
+      emit lowercase hex), used by the DuckDB oracle.  Computed per
+      document in ONE Arrow-batched pandas pass straight from the text:
+      tokenization uses textnorm.py_words (the tested Python twin of
+      words(); ``or ['']`` reproduces split()'s empty-string case, and
+      measured 4x cheaper than the JVM regex chain), hex-string min ==
+      digest-byte min (hex encoding is order-preserving), hashlib.md5
+      digests memoize per distinct shingle per task, and the explode +
+      per-occurrence md5 + shuffle of the former aggregate shape
+      disappear entirely (the signature needs no exchange at all).
+    - "xxhash64": h_k(s) = xxhash64(k, s) as BIGINT — integer min-agg,
+      no hex strings; stays on the JVM explode+agg path (Spark's seeded
+      xxhash64 has no cheap Python twin).
     """
-    sh = _exploded_shingles(docs, id_col, text_col, n)
     if hash_family == "md5":
-        aggs = [
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"mh{k}")
-            for k in range(num_hashes)
-        ]
-    elif hash_family == "xxhash64":
+        from pyspark.sql import types as T
+
+        from ..textnorm import py_words
+
+        ks = [f":{k}".encode() for k in range(num_hashes)]
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import hashlib
+
+            memo: dict = {}
+            cap = 1 << 18  # 8 digests/entry -> bound worker memory
+            md5 = hashlib.md5
+            for batch in it:
+                out = []
+                for text in batch:
+                    w_arr = py_words(text) or [""]
+                    grams = [
+                        " ".join(w_arr[i : i + n])
+                        for i in range(len(w_arr) - n + 1)
+                    ]
+                    mins = None
+                    for g in grams:
+                        ds = memo.get(g)
+                        if ds is None:
+                            gb = g.encode("utf-8")
+                            ds = [md5(gb + k).digest() for k in ks]
+                            if len(memo) < cap:
+                                memo[g] = ds
+                        if mins is None:
+                            mins = list(ds)
+                        else:
+                            for j, d in enumerate(ds):
+                                if d < mins[j]:
+                                    mins[j] = d
+                    # docs with < n words have no shingles -> no
+                    # signature row (filtered below), matching the
+                    # former explode+groupBy shape
+                    out.append(
+                        None if mins is None else [d.hex() for d in mins]
+                    )
+                yield pd.Series(out, dtype=object)
+
+        sig_once = sig.asNondeterministic()  # §4.4: no duplicated eval
+        base = (
+            _spread(docs)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), sig_once(F.col(text_col)).alias("_mhs"))
+            .filter(F.col("_mhs").isNotNull())
+        )
+        return base.select(
+            "doc_id",
+            *[F.col("_mhs")[k].alias(f"mh{k}") for k in range(num_hashes)],
+        )
+    if hash_family == "xxhash64":
+        sh = _exploded_shingles(docs, id_col, text_col, n)
         aggs = [
             F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
             for k in range(num_hashes)
         ]
-    else:
-        raise ValueError(f"unknown hash_family {hash_family!r}")
-    return sh.groupBy("doc_id").agg(*aggs)
+        return sh.groupBy("doc_id").agg(*aggs)
+    raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
 def _lsh_buckets(
@@ -257,29 +318,108 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5_prefix64(word: str, _memo: dict) -> int:
+    """First 8 bytes of md5(word) as a big-endian unsigned int — the
+    integer whose 16 hex digits are ``substr(md5(word), 1, 16)``.  Both
+    simhash constructions derive from it: per-word md5 is the dominant
+    cost, and real text repeats words heavily, so results memoize per
+    task (bounded; see _MEMO_CAP)."""
+    v = _memo.get(word)
+    if v is None:
+        import hashlib
+
+        v = int.from_bytes(
+            hashlib.md5(word.encode("utf-8")).digest()[:8], "big"
+        )
+        if len(_memo) < _MEMO_CAP:
+            _memo[word] = v
+    return v
+
+
+_MEMO_CAP = 1 << 20  # ~16 MB of dict: plenty for any task's vocab slice
+
+
+def _simhash_counts(batch, _memo: dict):
+    """Per-doc bit-position vote counts over a pandas Series of TEXTS:
+    returns (counts (docs x 64), n_words (docs,)).  Tokenizes with
+    textnorm.py_words (``or ['']`` reproduces split()'s empty-string
+    case, so empty/whitespace-only docs vote exactly like the JVM
+    words() path).  Bit p of a word = bit p of hi | lo<<32 where hi/lo
+    are the two 32-bit halves of the md5 hex prefix — exactly the
+    former explode + conv + 64 shift-mask aggregate construction,
+    minus the explode, the md5 per (word, occurrence), and the
+    aggregation exchange."""
+    import numpy as np
+
+    from ..textnorm import py_words
+
+    wordss = [py_words(t) or [""] for t in batch]
+    lens = np.fromiter((len(w) for w in wordss), dtype=np.int64, count=len(wordss))
+    flat = np.empty(int(lens.sum()), dtype=np.uint64)
+    pos = 0
+    for w_arr in wordss:
+        for w in w_arr:
+            flat[pos] = _md5_prefix64(w, _memo)
+            pos += 1
+    # v64be = hi * 2^32 + lo; simhash64 bit order wants hi bits 0-31,
+    # lo bits 32-63 -> w = hi | lo << 32
+    hi = flat >> np.uint64(32)
+    lo = flat & np.uint64(0xFFFFFFFF)
+    w64 = hi | (lo << np.uint64(32))
+    bits = (
+        (w64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    starts = np.zeros(len(batch), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    counts = np.add.reduceat(bits, starts, axis=0) if len(flat) else bits[:0]
+    # reduceat quirk: an empty slice (zero-length doc) copies the next
+    # row — zero those out explicitly
+    if (lens == 0).any():
+        counts[lens == 0] = 0
+    return counts, lens
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash over word unigrams: bit p is the majority vote of
     md5(word)[p] >= '8' across the document's words.  Portable to SQL
-    (same construction digit-by-digit)."""
-    word = F.explode(_words(F.col(text_col))).alias("word")
-    # project the hash ONCE per row — referencing F.md5 inside each agg
-    # expression would recompute it per bit (16x the md5 calls)
-    exploded = (
+    (same construction digit-by-digit).
+
+    Computed per document in ONE Arrow-batched pandas pass straight
+    from the text — hex digit p >= '8' is bit 4*(15-p)+3 of the md5
+    prefix int — with no explode and no aggregation exchange (the
+    former shape shuffled one row per word occurrence)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    # digit p of the 16-hex-digit prefix is nibble 15-p; digit >= '8'
+    # iff that nibble's top bit (bit 4*(15-p)+3 of v64be) is set.  In
+    # w64 = hi | lo<<32 coordinates that is bit 31-4p (p<8: hi digit)
+    # and bit 95-4p i.e. 63-4(p-8) (p>=8: lo digit).
+    digit_bits = np.array(
+        [31 - 4 * p for p in range(8)] + [63 - 4 * (p - 8) for p in range(8, 16)]
+    )
+
+    @F.pandas_udf(T.StringType())
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict = {}
+        for batch in it:
+            counts, lens = _simhash_counts(batch, memo)
+            c = counts[:, digit_bits]
+            # s_p = (+1)*c - (-1)*(n-c) >= 0  <=>  2c >= n
+            bit_chars = np.where(2 * c >= lens[:, None], "1", "0")
+            yield pd.Series(["".join(row) for row in bit_chars])
+
+    # asNondeterministic: stop Catalyst cloning the UDF below pushed
+    # filters (an inner join's inferred isnotnull re-evaluated the whole
+    # signature pass under the spread exchange — guide-§4.4 duplication)
+    sig_once = sig.asNondeterministic()
+    return (
         _spread(docs)
-        .select(F.col(id_col).alias("doc_id"), word)
-        .select("doc_id", F.md5(F.col("word")).alias("h"))
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), sig_once(F.col(text_col)).alias("simhash"))
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.substring(F.col("h"), p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"s{p}")
-        for p in range(16)
-    ]
-    summed = exploded.groupBy("doc_id").agg(*bit_aggs)
-    bits = F.concat(
-        *[F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(16)]
-    )
-    return summed.select("doc_id", bits.alias("simhash"))
 
 
 def simhash_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -475,8 +615,23 @@ def neardup_clusters(
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
+        # ONE join+agg per round over the edge set AUGMENTED with the
+        # current label pointers: the (label[v] -> v) edge delivers
+        # label[label[v]] (pointer jumping, formerly a separate join),
+        # and the (v -> label[v]) edge floods each member's label down
+        # to its representative (which re-broadcasts it next round).
+        # Same fixed point — every update is still a min over labels of
+        # reachable docs — with 2 exchanges per round instead of 4.
+        pointer_edges = labels.select(
+            F.col("label").alias("src"), F.col("doc_id").alias("dst")
+        ).union(
+            labels.select(
+                F.col("doc_id").alias("src"), F.col("label").alias("dst")
+            )
+        )
         neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
+            edges.union(pointer_edges)
+            .join(labels, F.col("src") == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
@@ -487,20 +642,12 @@ def neardup_clusters(
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             F.col("label").alias("_old"),
         )
-        rep = labels.select(
-            F.col("doc_id").alias("_rid"), F.col("label").alias("_rlabel")
-        )
-        jumped = stepped.join(rep, stepped.label == rep._rid, "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("_rlabel", "label")).alias("label"),
-            "_old",
-        )
         # eager localCheckpoint: materializes THIS round and truncates
         # lineage, so the changed-count below and the next round both
         # read stored blocks instead of replaying prior rounds
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = jumped.filter(F.col("label") != F.col("_old")).count()
-        labels = jumped.drop("_old")
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        labels = stepped.drop("_old")
         if changed == 0:
             converged = True
             break
@@ -660,37 +807,32 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     scale; 64 bits is the standard width (Charikar 2002 / Manku et al.
     2007).
     """
-    word = F.explode(_words(F.col(text_col))).alias("word")
-    h = F.md5(F.col("word"))
-    exploded = (
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict = {}
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for batch in it:
+            counts, lens = _simhash_counts(batch, memo)
+            bits = (2 * counts >= lens[:, None]).astype(np.uint64)
+            # uint64 accumulate wraps bit 63 to the intended
+            # two's-complement long on the int64 view
+            yield pd.Series((bits * weights).sum(axis=1).view(np.int64))
+
+    # one Arrow-batched pandas pass over the JVM-tokenized word array:
+    # the former shape exploded one row per word occurrence, md5'd each
+    # occurrence, and shuffled them into a 65-expression aggregate —
+    # per-doc majority votes need no exchange at all, and the word
+    # memo pays md5 once per distinct word per task
+    sig_once = sig.asNondeterministic()  # see simhash16: §4.4 duplication
+    return (
         _spread(docs)
-        .select(F.col(id_col).alias("doc_id"), word)
-        .select(
-            "doc_id",
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
-            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
-        )
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), sig_once(F.col(text_col)).alias("simhash64"))
     )
-    aggs = [F.count("*").alias("n")]
-    for p in range(32):
-        aggs.append(F.sum(F.shiftright("hi", p).bitwiseAND(F.lit(1))).alias(f"c{p}"))
-    for p in range(32):
-        aggs.append(
-            F.sum(F.shiftright("lo", p).bitwiseAND(F.lit(1))).alias(f"c{32 + p}")
-        )
-    summed = exploded.groupBy("doc_id").agg(*aggs)
-    # positives first, the sign-bit term (-2^63) last: the positive
-    # partial sums stay within long range, then the final add wraps to
-    # the intended two's-complement pattern
-    sig = F.lit(0).cast("long")
-    for p in range(63):
-        bit = F.when(F.col(f"c{p}") * 2 >= F.col("n"), 1).otherwise(0).cast("long")
-        sig = sig + bit * F.lit(1 << p).cast("long")
-    sign_bit = (
-        F.when(F.col("c63") * 2 >= F.col("n"), 1).otherwise(0).cast("long")
-    )
-    sig = sig + sign_bit * F.lit(-(1 << 63)).cast("long")
-    return summed.select("doc_id", sig.alias("simhash64"))
 
 
 def simhash64_neardup_pairs(
@@ -729,6 +871,11 @@ def simhash64_neardup_pairs(
     buckets = sig.select(
         "doc_id", F.col("simhash64").alias("sig"), F.explode(bands).alias("bk")
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # pre-partition on the join key: both self-join sides then share ONE
+    # exchange (ReusedExchange), so the signature computation runs once
+    # instead of once per side — without this the pandas signature UDF
+    # (no upstream exchange of its own) is evaluated twice
+    buckets = buckets.repartition("band", "key")
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
