@@ -276,8 +276,11 @@ def test_dup_spans_exchanges_hashed_shingles_not_strings(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(duplicate_ngram_spans(docs, n=3, min_df=2))
-    assert "xxhash64" in plan
-    # every exchange keys on the hash or the doc id — none on the string
+    # the hashed-long rows come straight out of the fused pandas
+    # tokenize+shingle+hash pass — no shingle string column may exist
+    # anywhere in the plan
+    assert "shingle" not in plan
+    # every exchange keys on the hash or the doc id — none on a string
     for frag in plan.split("hashpartitioning(")[1:]:
         key = frag.split("#")[0]
         assert key in ("h", "doc_id"), f"string-keyed exchange on {key!r}"

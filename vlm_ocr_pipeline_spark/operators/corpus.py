@@ -95,11 +95,25 @@ def pack_token_shards(
         )
     else:
         tok = F.size(_words(F.col(text_col)))
-        counted = docs.select(
-            F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens")
+        # tokenize on a SPREAD scan and pin the counts before the range
+        # exchange: repartitionByRange evaluates its input twice (range
+        # sampling + the real pass), and a single-row-group synthetic
+        # file would otherwise run the tokenizer twice on one core —
+        # measured ~2/3 of this operator's time at sf1.0.  The pinned
+        # frame is (doc_id, n_tokens) longs only.
+        counted = (
+            spread_narrow(docs)
+            .select(
+                F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens")
+            )
+            .localCheckpoint(eager=True)
+            if checkpoint
+            else docs.select(
+                F.col(id_col).alias("doc_id"), tok.cast("long").alias("n_tokens")
+            )
         )
-    # repartitionByRange is itself the spreading shuffle — no
-    # spread_narrow needed (it would just add a second shuffle)
+    # repartitionByRange is itself the spreading shuffle for the range
+    # pass (sampling runs over the pinned counts, not the tokenizer)
     base = (
         counted.repartitionByRange(p, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
@@ -258,15 +272,45 @@ def tfidf_top_terms(
     score = tf * (ln((N + 1) / (df + 1)) + 1), rounded to 6 decimals
     for engine stability; rank ties break on the term.
 
-    One shuffle builds (doc, term, tf); df is an agg over it; N joins
-    in as a broadcast scalar.  Output: (doc_id, term, score, rank).
+    (doc, term, tf) needs NO shuffle at all — term counts are a
+    per-document function, so one Arrow-batched pandas pass (Counter
+    over textnorm.py_words; ``or ['']`` reproduces the explode of
+    split()'s empty-string case) replaces the former JVM tokenize +
+    explode + groupBy exchange; the pass is pinned (localCheckpoint)
+    because both the df aggregation and the scoring join consume it.
+    df is an agg over it; N joins in as a broadcast scalar.  Output:
+    (doc_id, term, score, rank).
     """
-    word = F.explode(_words(F.col(text_col))).alias("term")
+    import collections
+
+    import pandas as pdd
+
+    from ..textnorm import py_words
+
+    def tf_gen(batches):
+        for b in batches:
+            ids, terms, tfs = [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                if text is None:
+                    continue
+                for term, k in collections.Counter(
+                    py_words(text) or [""]
+                ).items():
+                    ids.append(doc_id)
+                    terms.append(term)
+                    tfs.append(k)
+            yield pdd.DataFrame(
+                {"doc_id": pdd.Series(ids, dtype=object),
+                 "term": pdd.Series(terms, dtype=object),
+                 "tf": pdd.Series(tfs, dtype="int64")}
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
     tf = (
         spread_narrow(docs)
-        .select(F.col(id_col).alias("doc_id"), word)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(tf_gen, schema=f"doc_id {id_type}, term string, tf long")
+        .localCheckpoint(eager=False)
     )
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_tbl = docs.agg(F.count("*").alias("n_docs"))

@@ -52,6 +52,80 @@ def _exploded_shingles(docs, id_col, text_col, n, pos=False):
     return w.select("doc_id", F.explode(sh).alias("shingle"))
 
 
+def _hashed_shingle_rows(docs, id_col, text_col, n, pos=False):
+    """(doc_id, [pos,] h) — 64-bit-hashed word-n-gram shingles, one
+    Arrow-batched pandas pass per partition.
+
+    Drop-in replacement for ``_exploded_shingles(...).select(doc_id,
+    xxhash64(shingle))``: the shingle string is only ever a join/group
+    KEY in its consumers (dup spans, n-gram Jaccard, decontaminate),
+    so WHICH 64-bit hash keys it is irrelevant to their outputs (a
+    2^-64 collision was already accepted); this one is the first 8
+    md5 bytes because hashlib is the fast Python hasher available.
+    Moving tokenize+shingle+hash into one pandas pass replaces the
+    JVM regex tokenizer, the array build, the (pos)explode, and the
+    per-row hash projection — measured ~4x cheaper per pass, and rows
+    enter the first exchange as (long, long[, long]) exactly as
+    before.  Tokenization is textnorm.py_words (the tested twin of
+    words(); shingle membership is identical — both give no shingles
+    for docs under n words)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..textnorm import py_words
+
+    out_schema = (
+        f"doc_id long, {'pos int, ' if pos else ''}h long"
+    )
+    md5 = hashlib.md5
+
+    def gen(batches):
+        memo: dict = {}
+        cap = 1 << 20
+        for b in batches:
+            ids = b["doc_id"].to_numpy()
+            doc_ids, hs, poss, lens = [], [], [], []
+            for doc_id, text in zip(ids, b["text"]):
+                w = py_words(text) if text is not None else []
+                m = len(w) - n + 1
+                if m <= 0:
+                    continue
+                for i in range(m):
+                    g = " ".join(w[i : i + n])
+                    h = memo.get(g)
+                    if h is None:
+                        h = int.from_bytes(
+                            md5(g.encode("utf-8")).digest()[:8],
+                            "big",
+                            signed=True,
+                        )
+                        if len(memo) < cap:
+                            memo[g] = h
+                    hs.append(h)
+                doc_ids.append(doc_id)
+                lens.append(m)
+            cols = {
+                "doc_id": np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
+                if doc_ids
+                else np.array([], dtype=np.int64),
+            }
+            if pos:
+                cols["pos"] = (
+                    np.concatenate([np.arange(m, dtype=np.int32) for m in lens])
+                    if lens
+                    else np.array([], dtype=np.int32)
+                )
+            cols["h"] = np.asarray(hs, dtype=np.int64)
+            yield pd.DataFrame(cols)
+
+    return (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(gen, schema=out_schema)
+    )
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content with the
     representative (min id) and the duplicate count."""
@@ -105,13 +179,10 @@ def ngram_jaccard_pairs(
     spark.catalog.clearCache() between tables.
     """
     # the shingle string is only ever a GROUP KEY (pairs and sizes are
-    # all that leave this stage), so hash it to xxhash64 before the one
-    # exchange — (long, long) rows instead of ~90-byte strings, the
-    # same bandwidth fix measured at 0.541 -> 0.820 scaling efficiency
-    # on duplicate_ngram_spans below
-    exploded = _exploded_shingles(docs, id_col, text_col, n).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
+    # all that leave this stage), so only its 64-bit hash is ever
+    # built — (long, long) rows into the one exchange, tokenize +
+    # shingle + hash fused in one pandas pass (_hashed_shingle_rows)
+    exploded = _hashed_shingle_rows(docs, id_col, text_col, n)
     lists = exploded.groupBy("h").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
     )
@@ -705,16 +776,16 @@ def duplicate_ngram_spans(
     the shingles (below) recovered the exchange cost anyway.
     """
     # the shingle STRING never reaches the output (only positions do),
-    # so hash it to a 64-bit int before anything shuffles: both the
-    # df-agg and the join-back then exchange (long, long, long) rows
-    # instead of ~90-byte strings — measured on the 150k-doc scaling
-    # harness: 16-core 54.9 -> 37.0 s and scaling efficiency 0.541 ->
-    # 0.82 (the string exchange was the bandwidth ceiling; a 2^-64
-    # collision could mark one spurious span — acceptable for a dedup
-    # heuristic).
-    sh = _exploded_shingles(docs, id_col, text_col, n, pos=True).select(
-        "doc_id", "pos", F.xxhash64("shingle").alias("h")
-    )
+    # so only its 64-bit hash is ever built: both the df-agg and the
+    # join-back exchange (long, long, long) rows instead of ~90-byte
+    # strings — measured on the 150k-doc scaling harness: 16-core 54.9
+    # -> 37.0 s and scaling efficiency 0.541 -> 0.82 (the string
+    # exchange was the bandwidth ceiling; a 2^-64 collision could mark
+    # one spurious span — acceptable for a dedup heuristic).  Tokenize
+    # + shingle + hash run fused in one pandas pass per consumer pass
+    # (_hashed_shingle_rows) — recomputing that pass for the join-back
+    # stays cheaper than materializing 24 B/word of positions.
+    sh = _hashed_shingle_rows(docs, id_col, text_col, n, pos=True)
     hot = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("_df"))
@@ -914,8 +985,8 @@ def decontaminate(
     distinct shared gram hashes per doc.
     """
     def grams(df):
-        return _exploded_shingles(df, id_col, text_col, n).select(
-            "doc_id", F.xxhash64("shingle").alias("g")
+        return _hashed_shingle_rows(df, id_col, text_col, n).withColumnRenamed(
+            "h", "g"
         )
 
     test_grams = grams(test).select("g").distinct()
