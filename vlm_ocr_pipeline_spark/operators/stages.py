@@ -313,10 +313,18 @@ def finish_batch(
         blocks = list(blocks)
         _correct_blocks(blocks, kind)
         raw = rendering.compose_page_text(blocks)
-        corrected_view = [
-            {**b, "text": b.get("corrected_text") or b.get("text")} for b in blocks
-        ]
-        corrected = rendering.compose_page_text(corrected_view)
+        if kind == "pdf":
+            corrected_view = [
+                {**b, "text": b.get("corrected_text") or b.get("text")}
+                for b in blocks
+            ]
+            corrected = rendering.compose_page_text(corrected_view)
+        else:
+            # non-PDF correction is the reference's identity copy
+            # (copy_correct), so the corrected composition IS raw —
+            # skip the per-block dict copies and the second compose
+            # (and correction_ratio's identical-string guard hits)
+            corrected = raw
         md = rendering.render_markdown(blocks, image_render_mode) if want_md else None
         pt = rendering.render_plaintext(blocks, image_render_mode) if want_pt else None
         primary = pt if want_pt else md

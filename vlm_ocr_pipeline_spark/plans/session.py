@@ -16,11 +16,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-# docs per Arrow batch entering pandas stages: SMALL batches stream —
+# docs per Arrow batch entering pandas stages: small batches stream —
 # the JVM writer thread feeds batch k+1 while Python parses batch k,
-# overlapping scan/Arrow with parse inside one task (measured +25% at
-# local[16] vs 1024-row batches on ~3 KB docs)
-ARROW_BATCH_ROWS = 256
+# overlapping scan/Arrow with parse inside one task.  256 measured best
+# at local[16] in round 2; re-swept at local[32] in round 6 on the
+# 200k-page extract noop: 256 -> ~12.4s, 512 -> ~10.0s, 1024/2048 flat
+# within noise of 512 (more workers amortize per-batch overhead, so the
+# streaming sweet spot moved up one notch)
+ARROW_BATCH_ROWS = 512
 
 
 def get_spark(
@@ -40,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # zstd output parquet: measured on the 200k-page extract sink —
+        # snappy 16.5s/205MB, zstd 10.8s/141MB vs a 10.7s noop sink,
+        # i.e. the write fully overlaps compute (smaller I/O wins over
+        # codec CPU on every stage sink; also the guide-§6 default)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
