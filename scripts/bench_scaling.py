@@ -25,8 +25,11 @@ def run(cpus: int, pages: int) -> dict:
         # fake anti-scaling at higher core counts
         SPARK_BENCH_SINK=os.environ.get("SPARK_BENCH_SINK", "count"),
     )
+    # taskset: see bench_scaling_dedup.py — local[N] borrows JVM-helper
+    # silicon beyond N without pinning, under-reporting the ratio
     out = subprocess.run(
-        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "bench.py"],
+        env=env, capture_output=True, text=True,
         timeout=1800,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -60,7 +63,12 @@ def run_best(cpus: int, pages: int, trials: int) -> dict:
 def main() -> None:
     # large enough that per-worker interpreter startup (~1 s x workers)
     # is noise next to parse time at the 4N level
-    pages = int(os.environ.get("SPARK_BENCH_PAGES", "120000"))
+    # 360k pages (was 120k through round 5): round-6 cut per-doc cost
+    # ~25%, and a scaling cell must dwarf the ~3 s fixed per-invocation
+    # floor (scheduler/stage barriers, Python-worker cold start) or the
+    # ratio measures the floor, not the plan — same work-per-cell
+    # principle the dedup harness documents for dedup_apply
+    pages = int(os.environ.get("SPARK_BENCH_PAGES", "360000"))
     # N vs 4N on a 32-core box: 4/16 leaves headroom for the JVM side
     # (Arrow conversion, parquet codec, shuffle threads), so the Python
     # stage scaling isn't confounded by core oversubscription — the raw

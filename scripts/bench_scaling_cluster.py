@@ -25,7 +25,10 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MASTER_URL = "spark://127.0.0.1:7077"
 EXECUTOR_CORES = 4
-PAGES = int(os.environ.get("SPARK_BENCH_PAGES", "120000"))
+# 360k (was 120k): see bench_scaling.py — keep work-per-cell constant
+# after the round-6 per-doc cost cuts so the fixed session floor does
+# not masquerade as anti-scaling
+PAGES = int(os.environ.get("SPARK_BENCH_PAGES", "360000"))
 
 
 def _spark_home() -> str:
