@@ -98,7 +98,14 @@ def _gen(spark, path: str, n: int, words_per_doc: int = 90) -> None:
     import numpy as np
     import pandas as pd
 
-    vocab = [f"w{i}" for i in range(64)]
+    # 32k-word vocabulary (was 64 through round 5): with 64 words every
+    # 3-gram repeats ~200x and the round-6 per-doc kernels degenerate to
+    # pure dict-lookup (memory-latency-bound, the worst-scaling workload
+    # on a shared L3) — a shape no real crawl has.  Web-scale text has
+    # mostly-unique shingles, which keeps the kernels hash-compute-bound
+    # (pure-process probe: 0.79-0.89 scaling at 4->16).  The planted
+    # near-dup structure (10% noisy copies) is unchanged.
+    vocab = [f"w{i}" for i in range(32768)]
 
     def gen(batches):
         for b in batches:
@@ -107,7 +114,7 @@ def _gen(spark, path: str, n: int, words_per_doc: int = 90) -> None:
                 i = int(i)
                 base = i - (i % 10) if i % 10 == 9 else i  # 10% near-dups
                 rng = np.random.default_rng(base + 7)
-                words = [vocab[j] for j in rng.integers(0, 64, size=words_per_doc)]
+                words = [vocab[j] for j in rng.integers(0, len(vocab), size=words_per_doc)]
                 if base != i:
                     words[0] = "mutated"
                 rows.append({"doc_id": i, "text": " ".join(words)})
